@@ -1,0 +1,159 @@
+"""Attention primitives for the ST transformer.
+
+TPU-first equivalents of the reference attention stack
+(reference: hma/model/attention.py):
+  - fused QKV projection, optional shared fp32 qk-LayerNorm over head_dim,
+    muP scale 8/head_dim;
+  - bidirectional (spatial) and causal (temporal) self-attention;
+  - an incremental `decode_step` path for the temporal axis backed by an
+    explicit KV cache, which the reference lacks entirely — its rollout
+    recomputes the full stack per MaskGIT step (hma/generate.py:157).
+
+Shapes are small (S<=320 spatial, T<=16 temporal), so XLA's fused
+attention is already near roofline; `hma_tpu.ops.flash_attention`
+provides a Pallas kernel used for the larger spatial shape.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _attend(q: jax.Array, k: jax.Array, v: jax.Array, *,
+            causal: bool, kv_mask: Optional[jax.Array] = None,
+            dtype=jnp.bfloat16) -> jax.Array:
+    """Scaled dot-product attention. q,k,v: (B, N|M, H, D); q is pre-scaled.
+
+    Logits and softmax run in fp32 (the reference runs under bf16 autocast
+    where softmax is fp32); output is cast back to `dtype`.
+    """
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    if causal:
+        n, m = logits.shape[-2], logits.shape[-1]
+        # Align the causal diagonal to the *end* of the kv axis so a
+        # single-query decode step attends to every cached position.
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+        logits = jnp.where(col - (m - n) > row, NEG_INF, logits)
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+
+
+class SelfAttention(nn.Module):
+    """Self-attention with fused QKV and shared fp32 qk-LayerNorm.
+
+    Mirrors the reference semantics (hma/model/attention.py:10-61): a
+    single LayerNorm module normalizes both q and k per head over
+    head_dim, and scale = 8/head_dim under muP else head_dim**-0.5.
+    """
+
+    num_heads: int
+    d_model: int
+    qkv_bias: bool = False
+    proj_bias: bool = True
+    qk_norm: bool = True
+    use_mup: bool = True
+    attn_drop: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.head_dim = self.d_model // self.num_heads
+        self.scale = 8.0 / self.head_dim if self.use_mup else self.head_dim**-0.5
+        self.qkv = nn.Dense(3 * self.d_model, use_bias=self.qkv_bias,
+                            dtype=self.dtype, param_dtype=jnp.float32, name="qkv")
+        self.proj = nn.Dense(self.d_model, use_bias=self.proj_bias,
+                             dtype=self.dtype, param_dtype=jnp.float32, name="proj")
+        if self.qk_norm:
+            # One LN applied to both q and k, in fp32 (reference: attention.py:43-48).
+            self.norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                     param_dtype=jnp.float32, name="norm")
+
+    def _qkv(self, x: jax.Array):
+        B, N, _ = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.num_heads, self.head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if self.qk_norm:
+            q = self.norm(q.astype(jnp.float32)).astype(self.dtype)
+            k = self.norm(k.astype(jnp.float32)).astype(self.dtype)
+        q = q * jnp.asarray(self.scale, dtype=self.dtype)
+        return q, k, v
+
+    def __call__(self, x: jax.Array, causal: bool = False) -> jax.Array:
+        B, N, C = x.shape
+        q, k, v = self._qkv(x)
+        out = _attend(q, k, v, causal=causal, dtype=self.dtype)
+        return self.proj(out.reshape(B, N, C))
+
+    def decode_step(self, x_t: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                    t: jax.Array):
+        """Causal attention for one timestep with an explicit KV cache.
+
+        Args:
+            x_t: (B, 1, C) current-timestep activations.
+            k_cache/v_cache: (B, T_max, H, D) cached (post-qk-norm) keys and
+                values for timesteps < t; entries at >= t are ignored.
+            t: scalar int32 current timestep.
+
+        Returns:
+            (out, k_cache, v_cache) with the caches updated at index t.
+        """
+        B = x_t.shape[0]
+        q, k, v = self._qkv(x_t)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, t, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, t, axis=1)
+        t_max = k_cache.shape[1]
+        valid = jax.lax.broadcasted_iota(jnp.int32, (B, t_max), 1) <= t
+        out = _attend(q, k_cache, v_cache, causal=False, kv_mask=valid, dtype=self.dtype)
+        return self.proj(out.reshape(B, 1, self.d_model)), k_cache, v_cache
+
+
+class CrossAttention(nn.Module):
+    """Cross-attention used by action stems (reference: attention.py:64).
+
+    q: (B, N, d_model); k/v: (B, M, d_model). Unlike the reference, k/v
+    broadcast per-example (the reference's `.repeat` tiles the whole
+    tensor, mispairing examples when B_q > B_kv — a latent bug we do not
+    replicate); callers expand k/v to q's batch themselves.
+    """
+
+    num_heads: int
+    d_model: int
+    qkv_bias: bool = False
+    proj_bias: bool = True
+    qk_norm: bool = True
+    use_mup: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.head_dim = self.d_model // self.num_heads
+        self.scale = 8.0 / self.head_dim if self.use_mup else self.head_dim**-0.5
+        dense = lambda name: nn.Dense(self.d_model, use_bias=self.qkv_bias,
+                                      dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        self.to_q, self.to_k, self.to_v = dense("to_q"), dense("to_k"), dense("to_v")
+        self.proj = nn.Dense(self.d_model, use_bias=self.proj_bias,
+                             dtype=self.dtype, param_dtype=jnp.float32, name="proj")
+        if self.qk_norm:
+            self.norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                     param_dtype=jnp.float32, name="norm")
+
+    def __call__(self, q: jax.Array, k: jax.Array, v: jax.Array,
+                 causal: bool = False) -> jax.Array:
+        B, N, C = q.shape
+        M = k.shape[1]
+        q = self.to_q(q).reshape(B, N, self.num_heads, self.head_dim)
+        k = self.to_k(k).reshape(B, M, self.num_heads, self.head_dim)
+        v = self.to_v(v).reshape(B, M, self.num_heads, self.head_dim)
+        if self.qk_norm:
+            q = self.norm(q.astype(jnp.float32)).astype(self.dtype)
+            k = self.norm(k.astype(jnp.float32)).astype(self.dtype)
+        q = q * jnp.asarray(self.scale, dtype=self.dtype)
+        out = _attend(q, k, v, causal=causal, dtype=self.dtype)
+        return self.proj(out.reshape(B, N, C))

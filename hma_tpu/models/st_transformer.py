@@ -1,0 +1,226 @@
+"""Spatiotemporal factorized transformer (Genie-style).
+
+Per block (reference: STBlock, hma/model/st_transformer.py:79-114):
+  1. bidirectional *spatial* self-attention over the S(+action) tokens of
+     each frame,
+  2. per-domain action injection (additive "mlp" / "cross_attention" /
+     adaLN "modulate"),
+  3. causal *temporal* self-attention over T per spatial site,
+  4. MLP.
+Attention cost is O(B*T*S^2 + B*S*T^2), never O((T*S)^2).
+
+Quirk preserved from the reference: when qk_norm is on (the default),
+norm1/norm2 are Identity — the only normalization in the block is the
+fp32 qk-LayerNorm inside attention (st_transformer.py:52,73).
+
+Beyond the reference, every block also exposes `frame_step`: a
+single-frame decode path against a temporal KV cache, making AR rollout
+O(1) frames of compute per MaskGIT step instead of O(T).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hma_tpu.models.action_stems import (
+    DomainCrossAttention,
+    DomainModulate,
+    xavier_uniform_gain,
+)
+from hma_tpu.models.attention import SelfAttention
+
+
+class Mlp(nn.Module):
+    """Dense -> GELU -> Dense (reference: st_transformer.py:9-27)."""
+
+    d_model: int
+    mlp_ratio: float = 4.0
+    mlp_bias: bool = True
+    mlp_drop: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        hidden = int(self.d_model * self.mlp_ratio)
+        x = nn.Dense(hidden, use_bias=self.mlp_bias, dtype=self.dtype,
+                     param_dtype=jnp.float32,
+                     kernel_init=xavier_uniform_gain(0.1), name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.mlp_drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.d_model, use_bias=self.mlp_bias, dtype=self.dtype,
+                     param_dtype=jnp.float32,
+                     kernel_init=xavier_uniform_gain(0.1), name="fc2")(x)
+        return nn.Dropout(self.mlp_drop)(x, deterministic=deterministic)
+
+
+class STBlock(nn.Module):
+    """One spatiotemporal block. See module docstring for structure."""
+
+    num_heads: int
+    d_model: int
+    qkv_bias: bool = False
+    proj_bias: bool = True
+    qk_norm: bool = True
+    use_mup: bool = True
+    attn_drop: float = 0.0
+    mlp_ratio: float = 4.0
+    mlp_bias: bool = True
+    mlp_drop: float = 0.0
+    action_processing: str = "mlp"  # substring-matched: mlp | cross_attention | modulate
+    num_domains: int = 0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        attn_kwargs = dict(num_heads=self.num_heads, d_model=self.d_model,
+                           qkv_bias=self.qkv_bias, proj_bias=self.proj_bias,
+                           qk_norm=self.qk_norm, use_mup=self.use_mup,
+                           attn_drop=self.attn_drop, dtype=self.dtype)
+        self.spatial_attn = SelfAttention(**attn_kwargs, name="spatial_attn")
+        self.temporal_attn = SelfAttention(**attn_kwargs, name="temporal_attn")
+        self.mlp = Mlp(d_model=self.d_model, mlp_ratio=self.mlp_ratio,
+                       mlp_bias=self.mlp_bias, mlp_drop=self.mlp_drop,
+                       dtype=self.dtype, name="mlp")
+        if not self.qk_norm:
+            self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
+            self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
+        if self.num_domains > 0:
+            if "cross_attention" in self.action_processing:
+                self.action_projector = DomainCrossAttention(
+                    num_domains=self.num_domains, num_heads=8,
+                    d_model=self.d_model, dtype=self.dtype, name="action_projector")
+            elif "modulate" in self.action_processing:
+                self.action_projector = DomainModulate(
+                    num_domains=self.num_domains, d_model=self.d_model,
+                    dtype=self.dtype, name="action_projector")
+            # "mlp" mode: identity projector, purely additive.
+
+    def _pre1(self, x):
+        return x if self.qk_norm else self.norm1(x).astype(self.dtype)
+
+    def _pre2(self, x):
+        return x if self.qk_norm else self.norm2(x).astype(self.dtype)
+
+    def _inject(self, x_BSTC: jax.Array, action_emb: jax.Array,
+                domain_id: jax.Array) -> jax.Array:
+        """Action injection on the (B, S, T, C) view. action_emb: (B, T, C)."""
+        T = x_BSTC.shape[2]
+        if "mlp" in self.action_processing:
+            return x_BSTC + action_emb[:, None, :T]
+        if "cross_attention" in self.action_processing:
+            B, S, _, C = x_BSTC.shape
+            q = x_BSTC.reshape(B, S * T, C)
+            out = self.action_projector(q, action_emb[:, :T], domain_id)
+            return x_BSTC + out.reshape(B, S, T, C)
+        if "modulate" in self.action_processing:
+            return x_BSTC + self.action_projector(x_BSTC, action_emb[:, None, :T], domain_id)
+        return x_BSTC
+
+    def __call__(self, x_TSC: jax.Array, action_emb: Optional[jax.Array] = None,
+                 domain_id: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        """Full forward. x_TSC: (B, T, S, C); action_emb: (B, T, C)."""
+        B, T, S, C = x_TSC.shape
+        x_SC = x_TSC.reshape(B * T, S, C)
+        x_SC = x_SC + self.spatial_attn(self._pre1(x_SC))
+        x_BSTC = x_SC.reshape(B, T, S, C).transpose(0, 2, 1, 3)  # (B, S, T, C)
+
+        if action_emb is not None and self.num_domains > 0:
+            x_BSTC = self._inject(x_BSTC, action_emb, domain_id)
+
+        x_TC = x_BSTC.reshape(B * S, T, C)
+        x_TC = x_TC + self.temporal_attn(x_TC, causal=True)
+        x_TC = x_TC + self.mlp(self._pre2(x_TC), deterministic=deterministic)
+        return x_TC.reshape(B, S, T, C).transpose(0, 2, 1, 3)
+
+    def frame_step(self, x_SC: jax.Array, t: jax.Array,
+                   k_cache: jax.Array, v_cache: jax.Array,
+                   action_emb: Optional[jax.Array] = None,
+                   domain_id: Optional[jax.Array] = None):
+        """Single-frame decode. x_SC: (B, S, C) activations of frame t.
+
+        k_cache/v_cache: (B*S, T_max, H, D) temporal KV for this block.
+        Returns (x_SC_out, k_cache, v_cache) with caches updated at t.
+        """
+        B, S, C = x_SC.shape
+        x_SC = x_SC + self.spatial_attn(self._pre1(x_SC))
+
+        if action_emb is not None and self.num_domains > 0:
+            if "mlp" in self.action_processing:
+                cond_t = jnp.take_along_axis(
+                    action_emb, t[None, None, None].astype(jnp.int32), axis=1)
+                x_SC = x_SC + cond_t
+            elif "cross_attention" in self.action_processing:
+                x_SC = x_SC + self.action_projector(x_SC, action_emb, domain_id)
+            elif "modulate" in self.action_processing:
+                cond_t = jnp.take_along_axis(
+                    action_emb, t[None, None, None].astype(jnp.int32), axis=1)
+                x_SC = x_SC + self.action_projector(x_SC, cond_t, domain_id)
+
+        # No pre-norm on the temporal branch, matching the full path above
+        # (reference applies norm only before spatial attn and the MLP).
+        x_TC = x_SC.reshape(B * S, 1, C)
+        attn_out, k_cache, v_cache = self.temporal_attn.decode_step(
+            x_TC, k_cache, v_cache, t)
+        x_TC = x_TC + attn_out
+        x_TC = x_TC + self.mlp(self._pre2(x_TC), deterministic=True)
+        return x_TC.reshape(B, S, C), k_cache, v_cache
+
+
+class STTransformerDecoder(nn.Module):
+    """Stack of STBlocks (reference: st_transformer.py:117-177)."""
+
+    num_layers: int
+    num_heads: int
+    d_model: int
+    qkv_bias: bool = False
+    proj_bias: bool = True
+    qk_norm: bool = True
+    use_mup: bool = True
+    attn_drop: float = 0.0
+    mlp_ratio: float = 4.0
+    mlp_bias: bool = True
+    mlp_drop: float = 0.0
+    action_processing: str = "mlp"
+    num_domains: int = 0
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+
+    def setup(self):
+        block = STBlock
+        if self.remat:
+            block = nn.remat(STBlock, static_argnums=(3,))
+        self.layers = [
+            block(num_heads=self.num_heads, d_model=self.d_model,
+                  qkv_bias=self.qkv_bias, proj_bias=self.proj_bias,
+                  qk_norm=self.qk_norm, use_mup=self.use_mup,
+                  attn_drop=self.attn_drop, mlp_ratio=self.mlp_ratio,
+                  mlp_bias=self.mlp_bias, mlp_drop=self.mlp_drop,
+                  action_processing=self.action_processing,
+                  num_domains=self.num_domains, dtype=self.dtype,
+                  name=f"layers_{i}")
+            for i in range(self.num_layers)
+        ]
+
+    def __call__(self, x_TSC: jax.Array, action_emb: Optional[jax.Array] = None,
+                 domain_id: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        for layer in self.layers:
+            x_TSC = layer(x_TSC, action_emb, domain_id, deterministic)
+        return x_TSC
+
+    def frame_step(self, x_SC: jax.Array, t: jax.Array,
+                   k_cache: jax.Array, v_cache: jax.Array,
+                   action_emb: Optional[jax.Array] = None,
+                   domain_id: Optional[jax.Array] = None):
+        """x_SC: (B, S, C); k/v_cache: (L, B*S, T_max, H, D)."""
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            x_SC, k_i, v_i = layer.frame_step(x_SC, t, k_cache[i], v_cache[i],
+                                              action_emb, domain_id)
+            new_k.append(k_i)
+            new_v.append(v_i)
+        return x_SC, jnp.stack(new_k), jnp.stack(new_v)

@@ -1,0 +1,119 @@
+"""Shape / loss / KV-cache-exactness tests for the STMaskGIT model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hma_tpu.config import GenieConfig
+from hma_tpu.models.st_mask_git import STMaskGIT
+
+
+def tiny_config(**kw):
+    defaults = dict(
+        num_layers=2, num_heads=2, d_model=32, T=4, S=16,
+        image_vocab_size=2**18, num_factored_vocabs=2,
+        action_token_size=8, action_network="concat+modulate",
+        use_actions=True, jointly_predict_actions=True,
+        action_domains=["domA", "domB"],
+        d_actions=[4, 6],
+        action_stats=[[[0.1, 0.2], [1.0, 2.0]], [[0.0, 0.0, 0.5], [1.0, 1.0, 1.0]]],
+        use_mup=False,
+    )
+    defaults.update(kw)
+    return GenieConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_config()
+    model = STMaskGIT(cfg, dtype=jnp.float32)
+    B, T, S = 2, cfg.T, cfg.S
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, cfg.image_vocab_size, (B, T, S)), jnp.int32)
+    actions = jnp.asarray(rng.normal(size=(B, T, cfg.max_d_action)), jnp.float32)
+    domain_id = jnp.asarray(0, jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "action_drop": jax.random.PRNGKey(1)},
+        tokens, tokens, actions, domain_id)
+    return cfg, model, params, tokens, actions, domain_id
+
+
+def test_forward_shapes(model_and_params):
+    cfg, model, params, tokens, actions, domain_id = model_and_params
+    logits, action_pred = model.apply(
+        params, tokens, actions, domain_id, method=STMaskGIT.compute_logits)
+    B, T, S = tokens.shape
+    h = int(np.sqrt(S))
+    assert logits.shape == (B, cfg.factored_vocab_size * cfg.num_factored_vocabs, T, h, h)
+    assert action_pred.shape == (B, T, cfg.max_d_action)
+    assert logits.dtype == jnp.float32
+
+
+def test_loss_runs_and_masked_only(model_and_params):
+    cfg, model, params, tokens, actions, domain_id = model_and_params
+    mask_id = cfg.image_vocab_size
+    inp = tokens.at[:, 1:, :8].set(mask_id)
+    out = model.apply(params, inp, tokens, actions, domain_id,
+                      rngs={"action_drop": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(out["loss"]))
+    assert 0.0 <= float(out["acc"]) <= 1.0
+    assert np.isfinite(float(out["action_loss"]))
+
+    # fully-unmasked input: loss guard avoids NaN
+    out2 = model.apply(params, tokens, tokens, actions, domain_id,
+                       rngs={"action_drop": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(out2["loss"]))
+
+
+def test_frame_logits_match_full_forward(model_and_params):
+    """The KV-cached single-frame path must equal the full forward exactly."""
+    cfg, model, params, tokens, actions, domain_id = model_and_params
+    B, T, S = tokens.shape
+    mask_id = cfg.image_vocab_size
+
+    # mask the last frame, as during rollout
+    inp = tokens.at[:, T - 1].set(mask_id)
+
+    full_logits, _ = model.apply(params, inp, actions, domain_id,
+                                 method=STMaskGIT.compute_logits)
+    # full: (B, C, T, H, W) -> frame t, (B, S, nv, fv)
+    h = int(np.sqrt(S))
+    full = full_logits.reshape(B, cfg.num_factored_vocabs, cfg.factored_vocab_size, T, h, h)
+    k_cache, v_cache = model.apply(params, B, method=STMaskGIT.init_cache)
+
+    # prefill frames 0..T-2, then query frame T-1
+    for t in range(T - 1):
+        _, k_cache, v_cache = model.apply(
+            params, inp[:, t], jnp.asarray(t, jnp.int32), k_cache, v_cache,
+            actions, domain_id, method=STMaskGIT.frame_logits)
+
+    logits_t, _, _ = model.apply(
+        params, inp[:, T - 1], jnp.asarray(T - 1, jnp.int32), k_cache, v_cache,
+        actions, domain_id, method=STMaskGIT.frame_logits)
+
+    want = np.asarray(full[:, :, :, T - 1].transpose(0, 3, 4, 1, 2)).reshape(
+        B, S, cfg.num_factored_vocabs, cfg.factored_vocab_size)
+    np.testing.assert_allclose(np.asarray(logits_t), want, atol=2e-4, rtol=2e-4)
+
+
+def test_domain_id_switches_params(model_and_params):
+    cfg, model, params, tokens, actions, domain_id = model_and_params
+    l0, _ = model.apply(params, tokens, actions, jnp.asarray(0, jnp.int32),
+                        method=STMaskGIT.compute_logits)
+    l1, _ = model.apply(params, tokens, actions, jnp.asarray(1, jnp.int32),
+                        method=STMaskGIT.compute_logits)
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+
+def test_no_action_path():
+    cfg = tiny_config(use_actions=False, jointly_predict_actions=False,
+                      action_domains=None, d_actions=None, action_stats=None,
+                      action_network="mlp")
+    model = STMaskGIT(cfg, dtype=jnp.float32)
+    B = 2
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, cfg.image_vocab_size, (B, cfg.T, cfg.S)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens, tokens)
+    out = model.apply(params, tokens, tokens)
+    assert np.isfinite(float(out["loss"]))
