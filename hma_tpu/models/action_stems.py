@@ -33,6 +33,10 @@ def xavier_uniform_gain(gain: float):
     return nn.initializers.variance_scaling(gain * gain, "fan_avg", "uniform")
 
 
+# torch nn.Linear's default kaiming_uniform(a=sqrt(5)): var = 1/(3*fan_in).
+torch_linear_default = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
 def build_action_stat_tables(d_actions: Sequence[int],
                              action_stats: Sequence[Sequence[Sequence[float]]],
                              max_d_action: int) -> tuple[np.ndarray, np.ndarray]:
@@ -154,9 +158,11 @@ class DomainModulate(nn.Module):
     def __call__(self, x: jax.Array, cond: jax.Array, domain_id: jax.Array) -> jax.Array:
         """x: (..., d_model); cond: broadcastable to x's leading dims, (..., d_model)."""
         h = DomainDense(self.num_domains, self.d_model, self.d_model,
+                        kernel_init=xavier_uniform_gain(0.1),
                         dtype=self.dtype, name="ada_fc1")(cond, domain_id)
         h = jax.nn.silu(h)
         shift_scale = DomainDense(self.num_domains, self.d_model, 2 * self.d_model,
+                                  kernel_init=xavier_uniform_gain(0.1),
                                   dtype=self.dtype, name="ada_fc2")(h, domain_id)
         shift, scale = jnp.split(shift_scale, 2, axis=-1)
         x32 = x.astype(jnp.float32)
@@ -165,6 +171,7 @@ class DomainModulate(nn.Module):
         normed = ((x32 - mu) * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype)
         modulated = normed * (1 + scale) + shift
         return DomainDense(self.num_domains, self.d_model, self.d_model,
+                           kernel_init=xavier_uniform_gain(0.1),
                            dtype=self.dtype, name="linear_out")(modulated, domain_id)
 
 
@@ -228,4 +235,5 @@ class ActionReadout(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, domain_id: jax.Array) -> jax.Array:
         return DomainDense(self.num_domains, self.d_model, self.max_d_action,
+                           kernel_init=torch_linear_default,
                            dtype=self.dtype, name="out")(x, domain_id)

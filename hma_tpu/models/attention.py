@@ -24,6 +24,12 @@ from flax import linen as nn
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# Decoder-internal linears use xavier_uniform(gain=0.1), matching the
+# reference's STTransformerDecoder._init_weights (st_transformer.py:159-169).
+# Without pre-LN in the blocks (the qk_norm quirk), larger inits make the
+# residual stream grow exponentially with depth.
+_DECODER_INIT = nn.initializers.variance_scaling(0.1 * 0.1, "fan_avg", "uniform")
+
 
 def _attend(q: jax.Array, k: jax.Array, v: jax.Array, *,
             causal: bool, kv_mask: Optional[jax.Array] = None,
@@ -68,9 +74,11 @@ class SelfAttention(nn.Module):
         self.head_dim = self.d_model // self.num_heads
         self.scale = 8.0 / self.head_dim if self.use_mup else self.head_dim**-0.5
         self.qkv = nn.Dense(3 * self.d_model, use_bias=self.qkv_bias,
-                            dtype=self.dtype, param_dtype=jnp.float32, name="qkv")
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            kernel_init=_DECODER_INIT, name="qkv")
         self.proj = nn.Dense(self.d_model, use_bias=self.proj_bias,
-                             dtype=self.dtype, param_dtype=jnp.float32, name="proj")
+                             dtype=self.dtype, param_dtype=jnp.float32,
+                             kernel_init=_DECODER_INIT, name="proj")
         if self.qk_norm:
             # One LN applied to both q and k, in fp32 (reference: attention.py:43-48).
             self.norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
@@ -136,10 +144,12 @@ class CrossAttention(nn.Module):
         self.head_dim = self.d_model // self.num_heads
         self.scale = 8.0 / self.head_dim if self.use_mup else self.head_dim**-0.5
         dense = lambda name: nn.Dense(self.d_model, use_bias=self.qkv_bias,
-                                      dtype=self.dtype, param_dtype=jnp.float32, name=name)
+                                      dtype=self.dtype, param_dtype=jnp.float32,
+                                      kernel_init=_DECODER_INIT, name=name)
         self.to_q, self.to_k, self.to_v = dense("to_q"), dense("to_k"), dense("to_v")
         self.proj = nn.Dense(self.d_model, use_bias=self.proj_bias,
-                             dtype=self.dtype, param_dtype=jnp.float32, name="proj")
+                             dtype=self.dtype, param_dtype=jnp.float32,
+                             kernel_init=_DECODER_INIT, name="proj")
         if self.qk_norm:
             self.norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                                      param_dtype=jnp.float32, name="norm")

@@ -67,9 +67,11 @@ class FactorizedEmbedding(nn.Module):
 
         embeds = jnp.zeros((*input_ids.shape, self.d_model), dtype=self.dtype)
         for i in range(self.num_factored_vocabs):
+            # N(0,1), matching torch nn.Embedding's default init — the
+            # reference never rescales it (init_weights is dead code).
             table = nn.Embed(self.factored_vocab_size, self.d_model,
                              dtype=self.dtype, param_dtype=jnp.float32,
-                             embedding_init=nn.initializers.normal(stddev=0.02),
+                             embedding_init=nn.initializers.normal(stddev=1.0),
                              name=f"factored_embeds_{i}")
             embeds = embeds + table(factored[..., i])
 

@@ -32,6 +32,7 @@ from hma_tpu.models.action_stems import (
     ActionStemMLP,
     build_action_stat_tables,
     normalize_actions,
+    torch_linear_default,
     xavier_uniform_gain,
 )
 from hma_tpu.models.factorization import (
@@ -69,10 +70,14 @@ class STMaskGIT(nn.Module):
             num_factored_vocabs=cfg.num_factored_vocabs,
             d_model=cfg.d_model, mask_token_id=self.mask_token_id,
             dtype=self.dtype, name="token_embed")
+        # muP uses FixedMuReadout's xavier(0.01); plain mode keeps torch's
+        # default Linear init (reference: st_mask_git.py:191-192).
+        readout_init = (xavier_uniform_gain(0.01) if cfg.use_mup
+                        else torch_linear_default)
         self.out_x_proj = nn.Dense(
             cfg.factored_vocab_size * cfg.num_factored_vocabs,
             dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=xavier_uniform_gain(0.01), name="out_x_proj")
+            kernel_init=readout_init, name="out_x_proj")
         # muP readout: y = W(output_mult * x / width_mult); fold the
         # multipliers into a constant pre-scale (reference: FixedMuReadout,
         # st_mask_git.py:772-789, base width 256).

@@ -1,0 +1,243 @@
+"""Jitted MaskGIT rollout engine with temporal KV caching.
+
+The reference rolls out frame-by-frame, recomputing the full T-frame
+transformer stack on every MaskGIT refinement step —
+(T - prompt) * maskgit_steps full forwards per window
+(reference: hma/generate.py:157-172, hma/model/st_mask_git.py:337-467).
+
+Here each refinement step runs a *single-frame* forward against the
+temporal KV cache (exact: spatial attention is per-frame, temporal
+attention is causal), and the whole rollout is one compiled XLA program
+structured as lax.scan over frames and over MaskGIT steps, so the
+32-layer stack is traced once — not (T * steps) times — keeping both
+compile time and HLO size flat in T.
+
+Sampling semantics match the reference: per-factor greedy argmax when
+temperature ~ 0 (bit-exact), else categorical sampling; re-masking keeps
+the n least-confident tokens masked per the cosine schedule, with
+"random" (default) or "greedy" confidence ordering
+(reference: st_mask_git.py:387-453).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hma_tpu.models.schedules import maskgit_mask_counts
+from hma_tpu.models.st_mask_git import STMaskGIT
+
+
+def _sample_factored(logits_SNF: jax.Array, key: jax.Array, temperature: float,
+                     factored_vocab_size: int):
+    """Sample token ids and confidences from factored logits.
+
+    logits_SNF: (B, S, nv, fv) fp32. Returns (ids (B,S) int32,
+    confidence (B,S) f32 = prod over factors of the sampled prob).
+    Factors combine as sum_k id_k * fv**k (reference: st_mask_git.py:408-420).
+    """
+    B, S, nv, fv = logits_SNF.shape
+    probs = jax.nn.softmax(logits_SNF, axis=-1)
+    if temperature <= 1e-8:
+        samples = jnp.argmax(probs, axis=-1)  # (B, S, nv)
+    else:
+        keys = jax.random.split(key, nv)
+        samples = jnp.stack(
+            [jax.random.categorical(keys[k], logits_SNF[..., k, :] / temperature, axis=-1)
+             for k in range(nv)], axis=-1)
+    conf = jnp.take_along_axis(probs, samples[..., None], axis=-1)[..., 0]
+    confidence = jnp.prod(conf, axis=-1)
+    powers = factored_vocab_size ** jnp.arange(nv, dtype=jnp.int32)
+    ids = jnp.sum(samples.astype(jnp.int32) * powers, axis=-1)
+    return ids, confidence
+
+
+def _mask_lowest(conf: jax.Array, n) -> jax.Array:
+    """Boolean (B, S) mask selecting the n smallest-confidence entries.
+
+    n may be a traced scalar (selection is threshold-based, assuming no
+    ties — confidences are products of softmax probs or fresh uniforms,
+    which are tie-free almost surely).
+    """
+    B, S = conf.shape
+    n = jnp.asarray(n, jnp.int32)
+    sorted_conf = jnp.sort(conf, axis=1)
+    idx = jnp.clip(n - 1, 0, S - 1)
+    thr = jnp.take_along_axis(sorted_conf, jnp.full((B, 1), idx), axis=1)
+    return jnp.where(n > 0, conf <= thr, False)
+
+
+def _maskgit_refine(model: STMaskGIT, params, tokens_t, t, k_cache, v_cache,
+                    action_ids, domain_id, key, *, maskgit_steps: int,
+                    temperature: float, unmask_mode: str):
+    """Scan over MaskGIT refinement steps for frame t. Caches are read-only.
+
+    Returns (final_tokens (B,S), orig_logits (B,S,nv,fv))."""
+    cfg = model.config
+    B, S = tokens_t.shape
+    ns = jnp.asarray(maskgit_mask_counts(maskgit_steps, S), jnp.int32)
+    unmasked0 = tokens_t != model.mask_token_id
+    orig0 = jnp.zeros((B, S, cfg.num_factored_vocabs, cfg.factored_vocab_size), jnp.float32)
+
+    def step_body(carry, xs):
+        tokens_t, unmasked, orig_logits = carry
+        n, step_idx, key = xs
+        logits, _, _ = model.apply(params, tokens_t, t, k_cache, v_cache,
+                                   action_ids, domain_id,
+                                   method=STMaskGIT.frame_logits)
+        orig_logits = jnp.where(step_idx == 0, logits, orig_logits)
+        k_samp, k_conf = jax.random.split(key)
+        samples, confidence = _sample_factored(logits, k_samp, temperature,
+                                               cfg.factored_vocab_size)
+        if unmask_mode == "greedy":
+            conf = confidence
+        elif unmask_mode == "random":
+            conf = jax.random.uniform(k_conf, confidence.shape)
+        else:
+            raise NotImplementedError(unmask_mode)
+        conf = jnp.where(unmasked, jnp.inf, conf)
+        lowest = _mask_lowest(conf, n)  # empty when n == 0 (final step)
+        prev_unmasked = unmasked
+        unmasked = jnp.where(n > 0, unmasked | ~lowest, jnp.ones_like(unmasked))
+        samples = jnp.where(lowest, model.mask_token_id, samples)
+        samples = jnp.where(prev_unmasked, tokens_t, samples)
+        return (samples, unmasked, orig_logits), None
+
+    keys = jax.random.split(key, maskgit_steps)
+    steps = jnp.arange(maskgit_steps)
+    (tokens_t, _, orig_logits), _ = jax.lax.scan(
+        step_body, (tokens_t, unmasked0, orig0), (ns, steps, keys))
+    return tokens_t, orig_logits
+
+
+def generate_frame(model: STMaskGIT, params, tokens_t, t, k_cache, v_cache,
+                   action_ids, domain_id, key, *, maskgit_steps: int,
+                   temperature: float = 0.0, unmask_mode: str = "random"):
+    """MaskGIT-decode a single (fully or partially masked) frame t.
+
+    Returns (final_tokens (B,S), orig_logits (B,S,nv,fv), k_cache, v_cache)
+    with the caches filled from the *final* sampled tokens.
+    """
+    tokens_t, orig_logits = _maskgit_refine(
+        model, params, tokens_t, t, k_cache, v_cache, action_ids, domain_id,
+        key, maskgit_steps=maskgit_steps, temperature=temperature,
+        unmask_mode=unmask_mode)
+    # Cache-fill pass with the finalized frame so later frames attend to it.
+    _, k_cache, v_cache = model.apply(params, tokens_t, t, k_cache, v_cache,
+                                      action_ids, domain_id,
+                                      method=STMaskGIT.frame_logits)
+    return tokens_t, orig_logits, k_cache, v_cache
+
+
+def _prefill(model: STMaskGIT, params, tokens_TS, k_cache, v_cache,
+             action_ids, domain_id, num_frames: int):
+    """Fill the temporal KV caches from ground-truth frames [0, num_frames)."""
+
+    def body(carry, t):
+        k_cache, v_cache = carry
+        _, k_cache, v_cache = model.apply(
+            params, jnp.take(tokens_TS, t, axis=1), t,
+            k_cache, v_cache, action_ids, domain_id,
+            method=STMaskGIT.frame_logits)
+        return (k_cache, v_cache), None
+
+    (k_cache, v_cache), _ = jax.lax.scan(
+        body, (k_cache, v_cache), jnp.arange(num_frames))
+    return k_cache, v_cache
+
+
+def generate_tokens(model: STMaskGIT, params, prompt_TS, num_prompt_frames: int,
+                    action_ids, domain_id, key, *, maskgit_steps: int = 2,
+                    temperature: float = 0.0, unmask_mode: str = "random",
+                    return_logits: bool = False):
+    """Autoregressive rollout: keep `num_prompt_frames`, generate the rest.
+
+    prompt_TS: (B, T, S) int32; frames >= num_prompt_frames are ignored and
+    regenerated (reference: STMaskGIT.generate, st_mask_git.py:253-329).
+    """
+    cfg = model.config
+    B, T, S = prompt_TS.shape
+    k_cache, v_cache = model.apply(params, B, with_actions=action_ids is not None,
+                                   method=STMaskGIT.init_cache)
+
+    out = jnp.where(
+        (jnp.arange(T) < num_prompt_frames)[None, :, None],
+        prompt_TS, model.mask_token_id)
+    k_cache, v_cache = _prefill(model, params, out, k_cache, v_cache,
+                                action_ids, domain_id, num_prompt_frames)
+
+    def frame_body(carry, xs):
+        out, k_cache, v_cache = carry
+        t, key = xs
+        masked = jnp.full((B, S), model.mask_token_id, jnp.int32)
+        tokens_t, logits_t, k_cache, v_cache = generate_frame(
+            model, params, masked, t, k_cache, v_cache, action_ids, domain_id,
+            key, maskgit_steps=maskgit_steps, temperature=temperature,
+            unmask_mode=unmask_mode)
+        out = jax.lax.dynamic_update_slice_in_dim(out, tokens_t[:, None], t, axis=1)
+        return (out, k_cache, v_cache), logits_t
+
+    ts = jnp.arange(num_prompt_frames, T)
+    keys = jax.random.split(key, T - num_prompt_frames)
+    (out, _, _), logits = jax.lax.scan(frame_body, (out, k_cache, v_cache), (ts, keys))
+
+    if return_logits:
+        return out, jnp.moveaxis(logits, 0, 1)  # (B, T-p, S, nv, fv)
+    return out
+
+
+def make_generator(model: STMaskGIT, *, num_prompt_frames: int,
+                   maskgit_steps: int = 2, temperature: float = 0.0,
+                   unmask_mode: str = "random", return_logits: bool = False):
+    """Build a jitted rollout fn(params, prompt_TS, action_ids, domain_id, key)."""
+
+    @jax.jit
+    def run(params, prompt_TS, action_ids, domain_id, key):
+        return generate_tokens(model, params, prompt_TS, num_prompt_frames,
+                               action_ids, domain_id, key,
+                               maskgit_steps=maskgit_steps,
+                               temperature=temperature,
+                               unmask_mode=unmask_mode,
+                               return_logits=return_logits)
+
+    return run
+
+
+def teacher_forced_logits(model: STMaskGIT, params, tokens_TS, action_ids,
+                          domain_id, key, *, maskgit_steps: int = 2,
+                          temperature: float = 0.0, unmask_mode: str = "random"):
+    """Per-frame MaskGIT samples/logits with ground-truth history (evaluation).
+
+    For each t in [1, T): history = ground-truth frames < t, frame t fully
+    masked, MaskGIT-refine frame t; the cache is then filled with the
+    ground-truth frame t. Mirrors GenieEvaluator.predict_zframe_logits
+    (reference: hma/evaluate.py:150-198) with incremental forwards.
+
+    Returns (samples (B, T-1, S), logits (B, T-1, S, nv, fv)).
+    """
+    cfg = model.config
+    B, T, S = tokens_TS.shape
+    k_cache, v_cache = model.apply(params, B, with_actions=action_ids is not None,
+                                   method=STMaskGIT.init_cache)
+
+    def body(carry, xs):
+        k_cache, v_cache = carry
+        t, key = xs
+        # fill cache with ground truth frame t-1
+        _, k_cache, v_cache = model.apply(
+            params, jnp.take(tokens_TS, t - 1, axis=1), t - 1, k_cache, v_cache,
+            action_ids, domain_id, method=STMaskGIT.frame_logits)
+        masked = jnp.full((B, S), model.mask_token_id, jnp.int32)
+        tokens_t, logits_t = _maskgit_refine(
+            model, params, masked, t, k_cache, v_cache, action_ids, domain_id,
+            key, maskgit_steps=maskgit_steps, temperature=temperature,
+            unmask_mode=unmask_mode)
+        return (k_cache, v_cache), (tokens_t, logits_t)
+
+    ts = jnp.arange(1, T)
+    keys = jax.random.split(key, T - 1)
+    _, (samples, logits) = jax.lax.scan(body, (k_cache, v_cache), (ts, keys))
+    return jnp.moveaxis(samples, 0, 1), jnp.moveaxis(logits, 0, 1)

@@ -1,0 +1,128 @@
+"""Torch-checkpoint import for the MagVit2 tokenizer.
+
+Maps the reference's NCHW torch state dict (external/magvit2/models/
+lfqgan.py, checkpoint `magvit2.ckpt` from HF 1x-technologies/worldmodel)
+onto the Flax NHWC VQModel. EMA shadow weights (LitEma, stored under
+`model_ema.*` with dots stripped from parameter names) are preferred when
+present, since the reference encodes/decodes under `ema_scope()`
+(datasets/utils.py:123, external/magvit2/models/lfqgan.py:63-76).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    """(O, I, kh, kw) -> (kh, kw, I, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _torch_to_flax_name(name: str):
+    """Map a torch parameter path to (flax_path_tuple, kind).
+
+    kind: 'conv' | 'norm_scale' | 'norm_bias' | 'bias'
+    Returns None for parameters we don't import (quantizer buffers, loss
+    nets, discriminator).
+    """
+    parts = name.split(".")
+    if parts[0] not in ("encoder", "decoder"):
+        return None
+    top = parts[0]
+    rest = parts[1:]
+    leaf = rest[-1]
+
+    def conv_entry(path):
+        kind = "conv" if leaf == "weight" else "bias"
+        return (top, *path, "kernel" if leaf == "weight" else "bias"), kind
+
+    def norm_entry(path):
+        kind = "norm_scale" if leaf == "weight" else "norm_bias"
+        return (top, *path, "scale" if leaf == "weight" else "bias"), kind
+
+    body = rest[:-1]
+    key = ".".join(body)
+
+    m = re.fullmatch(r"down\.(\d+)\.block\.(\d+)\.(\w+)", key)
+    if m:
+        i, j, sub = m.group(1), m.group(2), m.group(3)
+        path = (f"down_{i}_block_{j}", sub)
+        return norm_entry(path) if sub.startswith("norm") else conv_entry(path)
+    m = re.fullmatch(r"down\.(\d+)\.downsample", key)
+    if m:
+        return conv_entry((f"down_{m.group(1)}_downsample",))
+    m = re.fullmatch(r"up\.(\d+)\.block\.(\d+)\.(\w+)", key)
+    if m:
+        i, j, sub = m.group(1), m.group(2), m.group(3)
+        path = (f"up_{i}_block_{j}", sub)
+        return norm_entry(path) if sub.startswith("norm") else conv_entry(path)
+    m = re.fullmatch(r"up\.(\d+)\.upsample\.conv1", key)
+    if m:
+        return conv_entry((f"up_{m.group(1)}_upsample", "conv1"))
+    m = re.fullmatch(r"mid_block\.(\d+)\.(\w+)", key)
+    if m:
+        j, sub = m.group(1), m.group(2)
+        path = (f"mid_block_{j}", sub)
+        return norm_entry(path) if sub.startswith("norm") else conv_entry(path)
+    if key == "conv_in":
+        return conv_entry(("conv_in",))
+    if key == "conv_out":
+        return conv_entry(("conv_out",))
+    if key == "norm_out":
+        return norm_entry(("norm_out",))
+    return None
+
+
+def _resolve_ema(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Overlay LitEma shadow weights (keys 'model_ema.<name with dots stripped>')
+    onto their originals (reference: external/magvit2/modules/ema.py:11-40)."""
+    ema = {k[len("model_ema."):]: v for k, v in state_dict.items()
+           if k.startswith("model_ema.") and k not in
+           ("model_ema.num_updates", "model_ema.decay")}
+    if not ema:
+        return state_dict
+    out = dict(state_dict)
+    for name in list(state_dict):
+        stripped = name.replace(".", "")
+        if stripped in ema:
+            out[name] = ema[stripped]
+    return out
+
+
+def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray],
+                             use_ema: bool = True) -> dict:
+    """Build the nested flax params dict {'params': {...}} for VQModel."""
+    state_dict = {k: np.asarray(v) for k, v in state_dict.items()}
+    if use_ema:
+        state_dict = _resolve_ema(state_dict)
+
+    params: dict = {}
+    for name, value in state_dict.items():
+        mapped = _torch_to_flax_name(name)
+        if mapped is None:
+            continue
+        path, kind = mapped
+        if kind == "conv":
+            value = _conv_w(value)
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value.astype(np.float32)
+    return {"params": params}
+
+
+def load_magvit2_checkpoint(ckpt_path: str, use_ema: bool = True) -> dict:
+    """Load the reference torch checkpoint file into flax VQModel params.
+
+    Requires torch (CPU) for deserialization only.
+    """
+    import torch  # local import: torch is never needed on the TPU path
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    state_dict = ckpt.get("state_dict", ckpt)
+    state_dict = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+                  for k, v in state_dict.items()}
+    return torch_state_dict_to_flax(state_dict, use_ema=use_ema)

@@ -1,0 +1,174 @@
+"""Jitted training step, optimizer and LR schedules.
+
+Mirrors the reference training semantics (hma/train_multi.py):
+  - AdamW with two parameter groups: weight decay on everything except
+    biases and layer-norm scales (train_multi.py:906-918);
+  - LR scaled by min(max(1, effective_batch/64), 8) (train_multi.py:902);
+  - "custom_cosine" warmup+cosine decaying to 10% of peak
+    (train_multi.py:962-977);
+  - gradient clipping by global norm (train_multi.py:593);
+  - NaN-loss skip: a non-finite loss zeroes the update instead of
+    poisoning the weights (the reference does a dummy backward,
+    train_multi.py:572-583).
+
+The step is a single jit'd function over the (dp, fsdp, tp) mesh; the
+gradient all-reduce is inserted by XLA from the sharding annotations —
+there is no torch-DDP-style wrapper to replicate. Gradient accumulation
+on TPU is expressed by scanning microbatches inside the step.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def custom_cosine_schedule(base_lr: float, warmup_steps: int, max_steps: int,
+                           end_ratio: float = 0.1) -> optax.Schedule:
+    """Linear warmup then cosine decay to end_ratio * peak
+    (reference: train_multi.py:962-977)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = (step + 1) / max(warmup_steps, 1)
+        remaining = max(max_steps - warmup_steps, 1)
+        cos = (1 + jnp.cos(jnp.pi * (step - warmup_steps) / remaining)) / 2
+        decay = cos * (1 - end_ratio) + end_ratio
+        return base_lr * jnp.where(step < warmup_steps, warm, decay)
+
+    return schedule
+
+
+def scale_lr_by_batch(lr: float, effective_batch_size: int) -> float:
+    """(reference: train_multi.py:902-904)"""
+    return lr * min(max(1, effective_batch_size / 64), 8)
+
+
+def weight_decay_mask(params) -> Any:
+    """True where weight decay applies: excludes biases and norm scales
+    (reference no_decay = ["bias", "layer_norm.weight"])."""
+
+    def decide(path, _):
+        names = [str(getattr(k, "key", k)) for k in path]
+        leaf = names[-1]
+        if leaf == "bias":
+            return False
+        if leaf == "scale":  # layer-norm / domain-layer-norm scales
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def make_optimizer(learning_rate, weight_decay: float = 0.01,
+                   beta1: float = 0.9, beta2: float = 0.999,
+                   eps: float = 1e-8, max_grad_norm: float = 1.0,
+                   params_template=None) -> optax.GradientTransformation:
+    mask = weight_decay_mask(params_template) if params_template is not None else None
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
+                    weight_decay=weight_decay, mask=mask),
+    )
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    *, action_loss_weight: float = 0.5,
+                    microbatch: int = 0) -> Callable:
+    """Build train_step(state, batch, rng) -> (state, metrics).
+
+    batch: dict with input_ids/labels (B, T, S) int32, optional
+    action_ids (B, T, max_da) f32, domain_id scalar int32.
+    If microbatch > 0, the batch is split into B//microbatch chunks and
+    gradients are accumulated with lax.scan (manual grad accumulation,
+    reference: train_multi.py:561-586).
+    """
+
+    def loss_fn(params, batch, rng):
+        out = model.apply(
+            params, batch["input_ids"], batch["labels"],
+            batch.get("action_ids"), batch.get("domain_id"),
+            deterministic=False,
+            rngs={"dropout": rng, "action_drop": jax.random.fold_in(rng, 1)})
+        loss = out["loss"]
+        metrics = {"loss": out["loss"], "acc": out["acc"]}
+        if "action_loss" in out:
+            loss = loss + action_loss_weight * out["action_loss"]
+            metrics["action_loss"] = out["action_loss"]
+        return loss, metrics
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def compute_grads(params, batch, rng):
+        if microbatch <= 0:
+            (loss, metrics), grads = grad_fn(params, batch, rng)
+            return grads, metrics
+
+        B = batch["input_ids"].shape[0]
+        n_micro = B // microbatch
+        array_keys = [k for k, v in batch.items()
+                      if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == B]
+
+        def reshape(v):
+            return v.reshape(n_micro, microbatch, *v.shape[1:])
+
+        stacked = {k: reshape(batch[k]) for k in array_keys}
+        static = {k: v for k, v in batch.items() if k not in array_keys}
+
+        def body(carry, xs):
+            grads_acc, metrics_acc = carry
+            mb, key = xs
+            (loss, metrics), grads = grad_fn(params, {**mb, **static}, key)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
+            return (grads_acc, metrics_acc), None
+
+        zeros_g = jax.tree.map(jnp.zeros_like, params)
+        mb0 = {k: v[0] for k, v in stacked.items()}
+        metrics_shape = jax.eval_shape(
+            lambda p, b, r: grad_fn(p, b, r)[0][1], params, {**mb0, **static}, rng)
+        zeros_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape)
+        keys = jax.random.split(rng, n_micro)
+        (grads, metrics), _ = jax.lax.scan(body, (zeros_g, zeros_m), (stacked, keys))
+        inv = 1.0 / n_micro
+        return (jax.tree.map(lambda g: g * inv, grads),
+                jax.tree.map(lambda m: m * inv, metrics))
+
+    def train_step(state: TrainState, batch, rng):
+        grads, metrics = compute_grads(state.params, batch, rng)
+        # NaN guard: skip the update if the loss went non-finite.
+        ok = jnp.isfinite(metrics["loss"])
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                              params, state.params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["skipped"] = (~ok).astype(jnp.float32)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(model, *, action_loss_weight: float = 0.5) -> Callable:
+    def eval_step(params, batch):
+        out = model.apply(params, batch["input_ids"], batch["labels"],
+                          batch.get("action_ids"), batch.get("domain_id"),
+                          deterministic=True,
+                          rngs={"action_drop": jax.random.PRNGKey(0)})
+        metrics = {"loss": out["loss"], "acc": out["acc"],
+                   "perplexity": jnp.exp(out["loss"])}
+        if "action_loss" in out:
+            metrics["action_loss"] = out["action_loss"]
+        return metrics
+    return eval_step
