@@ -1,0 +1,248 @@
+"""Gaussian diffusion (IDDPM/ADM lineage) as pure jnp functions.
+
+Functional rebuild of the reference's vendored OpenAI/DiT diffusion stack
+(hma/diffusion/gaussian_diffusion.py, respace.py): cosine beta schedule,
+epsilon prediction with LEARNED_RANGE variance, MSE + VB training loss,
+respaced ancestral sampling with temperature. All schedule tensors are
+precomputed numpy constants folded into the jaxpr; the sampling loop is a
+lax.scan (the reference's Python loop over 1000/100 steps would unroll).
+
+Used by the MAR diffusion head (hma_tpu/models/diffloss.py): train
+diffusion = 1000-step cosine, gen diffusion = respaced "100"
+(reference: hma/model/diffloss.py:25-26).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DiffusionSchedule(NamedTuple):
+    """Precomputed schedule tensors, length = num (respaced) timesteps."""
+
+    betas: np.ndarray
+    alphas_cumprod: np.ndarray
+    alphas_cumprod_prev: np.ndarray
+    sqrt_alphas_cumprod: np.ndarray
+    sqrt_one_minus_alphas_cumprod: np.ndarray
+    sqrt_recip_alphas_cumprod: np.ndarray
+    sqrt_recipm1_alphas_cumprod: np.ndarray
+    posterior_variance: np.ndarray
+    posterior_log_variance_clipped: np.ndarray
+    posterior_mean_coef1: np.ndarray
+    posterior_mean_coef2: np.ndarray
+    timestep_map: np.ndarray  # respaced index -> original timestep (for the net)
+
+    @property
+    def num_timesteps(self) -> int:
+        return len(self.betas)
+
+
+def cosine_betas(num_steps: int, max_beta: float = 0.999) -> np.ndarray:
+    """squaredcos_cap_v2 schedule (reference: gaussian_diffusion.py:45-62)."""
+
+    def alpha_bar(t):
+        return math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+
+    betas = []
+    for i in range(num_steps):
+        t1, t2 = i / num_steps, (i + 1) / num_steps
+        betas.append(min(1 - alpha_bar(t2) / alpha_bar(t1), max_beta))
+    return np.asarray(betas, dtype=np.float64)
+
+
+def linear_betas(num_steps: int) -> np.ndarray:
+    scale = 1000 / num_steps
+    return np.linspace(scale * 1e-4, scale * 2e-2, num_steps, dtype=np.float64)
+
+
+def space_timesteps(num_timesteps: int, section_counts) -> list[int]:
+    """Evenly-strided timestep subsets (reference: respace.py:12-57)."""
+    if isinstance(section_counts, str):
+        if section_counts.startswith("ddim"):
+            desired = int(section_counts[len("ddim"):])
+            for i in range(1, num_timesteps):
+                if len(range(0, num_timesteps, i)) == desired:
+                    return list(range(0, num_timesteps, i))
+            raise ValueError(f"cannot create exactly {desired} steps with an integer stride")
+        section_counts = [int(x) for x in section_counts.split(",")]
+    elif isinstance(section_counts, int):
+        section_counts = [section_counts]
+    size_per = num_timesteps // len(section_counts)
+    extra = num_timesteps % len(section_counts)
+    start_idx, all_steps = 0, []
+    for i, count in enumerate(section_counts):
+        size = size_per + (1 if i < extra else 0)
+        if size < count:
+            raise ValueError(f"cannot divide section of {size} steps into {count}")
+        stride = 1 if count <= 1 else (size - 1) / (count - 1)
+        cur, taken = 0.0, []
+        for _ in range(count):
+            taken.append(start_idx + round(cur))
+            cur += stride
+        all_steps += taken
+        start_idx += size
+    return sorted(all_steps)
+
+
+def make_schedule(noise_schedule: str = "cosine", diffusion_steps: int = 1000,
+                  timestep_respacing="") -> DiffusionSchedule:
+    betas = cosine_betas(diffusion_steps) if noise_schedule == "cosine" else linear_betas(diffusion_steps)
+
+    if timestep_respacing in (None, "", []):
+        use = list(range(diffusion_steps))
+    else:
+        use = space_timesteps(diffusion_steps, timestep_respacing)
+
+    # re-derive betas over the retained timesteps (reference: respace.py:61-92)
+    alphas_cumprod_full = np.cumprod(1.0 - betas)
+    new_betas, timestep_map = [], []
+    last = 1.0
+    for t in use:
+        new_betas.append(1 - alphas_cumprod_full[t] / last)
+        last = alphas_cumprod_full[t]
+        timestep_map.append(t)
+    betas = np.asarray(new_betas, dtype=np.float64)
+
+    alphas = 1.0 - betas
+    ac = np.cumprod(alphas)
+    ac_prev = np.append(1.0, ac[:-1])
+    posterior_variance = betas * (1.0 - ac_prev) / (1.0 - ac)
+    posterior_log = np.log(np.append(posterior_variance[1], posterior_variance[1:]))
+    return DiffusionSchedule(
+        betas=betas,
+        alphas_cumprod=ac,
+        alphas_cumprod_prev=ac_prev,
+        sqrt_alphas_cumprod=np.sqrt(ac),
+        sqrt_one_minus_alphas_cumprod=np.sqrt(1.0 - ac),
+        sqrt_recip_alphas_cumprod=np.sqrt(1.0 / ac),
+        sqrt_recipm1_alphas_cumprod=np.sqrt(1.0 / ac - 1),
+        posterior_variance=posterior_variance,
+        posterior_log_variance_clipped=posterior_log,
+        posterior_mean_coef1=betas * np.sqrt(ac_prev) / (1.0 - ac),
+        posterior_mean_coef2=(1.0 - ac_prev) * np.sqrt(alphas) / (1.0 - ac),
+        timestep_map=np.asarray(timestep_map, dtype=np.int32),
+    )
+
+
+def _extract(arr: np.ndarray, t: jax.Array, ndim: int) -> jax.Array:
+    """Gather schedule values at t and broadcast to an ndim tensor."""
+    out = jnp.take(jnp.asarray(arr, jnp.float32), t)
+    return out.reshape(t.shape + (1,) * (ndim - t.ndim))
+
+
+def q_sample(sched: DiffusionSchedule, x0: jax.Array, t: jax.Array,
+             noise: jax.Array) -> jax.Array:
+    """Forward diffusion (reference: gaussian_diffusion.py:269-287)."""
+    return (_extract(sched.sqrt_alphas_cumprod, t, x0.ndim) * x0
+            + _extract(sched.sqrt_one_minus_alphas_cumprod, t, x0.ndim) * noise)
+
+
+def q_posterior_mean(sched, x0, xt, t):
+    return (_extract(sched.posterior_mean_coef1, t, x0.ndim) * x0
+            + _extract(sched.posterior_mean_coef2, t, x0.ndim) * xt)
+
+
+def predict_x0_from_eps(sched, xt, t, eps):
+    return (_extract(sched.sqrt_recip_alphas_cumprod, t, xt.ndim) * xt
+            - _extract(sched.sqrt_recipm1_alphas_cumprod, t, xt.ndim) * eps)
+
+
+def learned_range_log_variance(sched, t, v, ndim):
+    """Interpolate log-variance between posterior (min) and beta (max)
+    from the model's raw v output (reference: gaussian_diffusion.py:306-315)."""
+    min_log = _extract(sched.posterior_log_variance_clipped, t, ndim)
+    max_log = _extract(np.log(np.maximum(sched.betas, 1e-20)), t, ndim)
+    frac = (v.astype(jnp.float32) + 1) / 2
+    return frac * max_log + (1 - frac) * min_log
+
+
+def _normal_kl(mean1, logvar1, mean2, logvar2):
+    return 0.5 * (-1.0 + logvar2 - logvar1 + jnp.exp(logvar1 - logvar2)
+                  + ((mean1 - mean2) ** 2) * jnp.exp(-logvar2))
+
+
+def _discretized_gaussian_log_likelihood(x, means, log_scales):
+    """(reference: diffusion_utils.py:43-64)"""
+    centered = x - means
+    inv_stdv = jnp.exp(-log_scales)
+    plus_in = inv_stdv * (centered + 1.0 / 255.0)
+    min_in = inv_stdv * (centered - 1.0 / 255.0)
+    cdf_plus = jax.scipy.stats.norm.cdf(plus_in)
+    cdf_min = jax.scipy.stats.norm.cdf(min_in)
+    log_cdf_plus = jnp.log(jnp.clip(cdf_plus, 1e-12))
+    log_one_minus_cdf_min = jnp.log(jnp.clip(1.0 - cdf_min, 1e-12))
+    cdf_delta = cdf_plus - cdf_min
+    return jnp.where(
+        x < -0.999, log_cdf_plus,
+        jnp.where(x > 0.999, log_one_minus_cdf_min,
+                  jnp.log(jnp.clip(cdf_delta, 1e-12))))
+
+
+def training_losses(net_apply: Callable, sched: DiffusionSchedule,
+                    x0: jax.Array, t: jax.Array, cond, key: jax.Array):
+    """Per-example loss: eps-MSE + VB term for the learned variance
+    (reference: gaussian_diffusion.py:675-745, LossType.MSE + LEARNED_RANGE).
+
+    net_apply(x_t, t, cond) -> (..., 2*C): [eps_pred, v].
+    Returns dict with 'loss' shaped like t (mean over non-batch dims).
+    """
+    noise = jax.random.normal(key, x0.shape, x0.dtype)
+    xt = q_sample(sched, x0, t, noise)
+    out = net_apply(xt, t, cond)
+    C = x0.shape[-1]
+    eps_pred, v = out[..., :C], out[..., C:]
+
+    mse = jnp.mean((noise.astype(jnp.float32) - eps_pred.astype(jnp.float32)) ** 2,
+                   axis=tuple(range(1, x0.ndim)))
+
+    # VB term with frozen mean (stop-gradient on eps)
+    x0_pred = predict_x0_from_eps(sched, xt, t, jax.lax.stop_gradient(eps_pred))
+    model_mean = q_posterior_mean(sched, x0_pred, xt, t)
+    model_logvar = learned_range_log_variance(sched, t, v, x0.ndim)
+
+    true_mean = q_posterior_mean(sched, x0, xt, t)
+    true_logvar = _extract(sched.posterior_log_variance_clipped, t, x0.ndim)
+    kl = _normal_kl(true_mean, true_logvar, model_mean, model_logvar)
+    kl = jnp.mean(kl, axis=tuple(range(1, x0.ndim))) / math.log(2.0)
+
+    nll = -_discretized_gaussian_log_likelihood(x0, model_mean, 0.5 * model_logvar)
+    nll = jnp.mean(nll, axis=tuple(range(1, x0.ndim))) / math.log(2.0)
+    vb = jnp.where(t == 0, nll, kl)
+
+    return {"loss": mse + vb, "mse": mse, "vb": vb}
+
+
+def p_sample_loop(net_apply: Callable, sched: DiffusionSchedule,
+                  noise: jax.Array, cond, key: jax.Array, *,
+                  temperature: float = 1.0, clip_denoised: bool = False):
+    """Ancestral sampling scan from t = T-1 .. 0
+    (reference: gaussian_diffusion.py:358-447). The net receives the
+    *original* timestep via timestep_map (respace.py:95-119)."""
+    tmap = jnp.asarray(sched.timestep_map)
+
+    def body(carry, idx):
+        x, key = carry
+        key, k = jax.random.split(key)
+        t = jnp.full((x.shape[0],), idx, jnp.int32)
+        out = net_apply(x, jnp.take(tmap, t), cond)
+        C = x.shape[-1]
+        eps, v = out[..., :C], out[..., C:]
+        x0_pred = predict_x0_from_eps(sched, x, t, eps)
+        if clip_denoised:
+            x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+        mean = q_posterior_mean(sched, x0_pred, x, t)
+        logvar = learned_range_log_variance(sched, t, v, x.ndim)
+        z = jax.random.normal(k, x.shape, jnp.float32)
+        nonzero = (idx != 0).astype(jnp.float32)
+        x = mean + nonzero * jnp.exp(0.5 * logvar) * z * temperature
+        return (x.astype(noise.dtype), key), None
+
+    steps = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    (x, _), _ = jax.lax.scan(body, (noise, key), steps)
+    return x

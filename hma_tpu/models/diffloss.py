@@ -1,0 +1,241 @@
+"""MAR diffusion head: AdaLN-modulated residual MLP + diffusion losses.
+
+Rebuild of the reference DiffLoss (hma/model/diffloss.py): a per-token
+SimpleMLPAdaLN predicting (eps, v), trained with the 1000-step cosine
+schedule and sampled with a respaced schedule (default "100"). A
+domain-stacked variant serves the per-embodiment action heads
+(reference: st_mar.py:81-100) from one compiled program.
+
+Init note: the reference zero-initializes adaLN/final layers DiT-style
+(diffloss.py:196-208) but then STMAR.initialize_weights() clobbers every
+Linear back to N(0, 0.02) (st_mar.py:105-108 -> st_mask_git.py:737-748).
+We keep the DiT zero-init — the vendored code's intended behavior.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from hma_tpu.diffusion.gaussian import (
+    make_schedule,
+    p_sample_loop,
+    training_losses,
+)
+from hma_tpu.models.action_stems import DomainDense, xavier_uniform_gain
+
+
+def timestep_embedding(t: jax.Array, dim: int, max_period: int = 10000) -> jax.Array:
+    """DiT sinusoidal embedding, cos-then-sin order (reference: diffloss.py:84-101)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class _TimestepEmbedder(nn.Module):
+    hidden: int
+    freq_dim: int = 256
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:
+        h = timestep_embedding(t, self.freq_dim)
+        h = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=nn.initializers.normal(0.02), name="fc1")(h)
+        h = jax.nn.silu(h)
+        return nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=nn.initializers.normal(0.02), name="fc2")(h)
+
+
+class SimpleMLPAdaLN(nn.Module):
+    """Residual MLP with adaLN conditioning (reference: diffloss.py:151-233).
+
+    __call__(x (N, C), t (N,), c (N, Z)) -> (N, 2C): [eps, v].
+    """
+
+    in_channels: int
+    model_channels: int
+    z_channels: int
+    num_res_blocks: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, t: jax.Array, c: jax.Array) -> jax.Array:
+        xavier = xavier_uniform_gain(0.1)
+        dense = lambda n, name, init=xavier: nn.Dense(
+            n, dtype=self.dtype, param_dtype=jnp.float32, kernel_init=init, name=name)
+
+        h = dense(self.model_channels, "input_proj")(x.astype(self.dtype))
+        t_emb = _TimestepEmbedder(self.model_channels, dtype=self.dtype,
+                                  name="time_embed")(t)
+        c_emb = dense(self.model_channels, "cond_embed")(c.astype(self.dtype))
+        y = t_emb + c_emb
+
+        for i in range(self.num_res_blocks):
+            mod = dense(3 * self.model_channels, f"res_{i}_adaLN",
+                        nn.initializers.zeros)(jax.nn.silu(y))
+            shift, scale, gate = jnp.split(mod, 3, axis=-1)
+            hn = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                              name=f"res_{i}_ln")(h.astype(jnp.float32)).astype(self.dtype)
+            hh = hn * (1 + scale) + shift
+            hh = dense(self.model_channels, f"res_{i}_fc1")(hh)
+            hh = jax.nn.silu(hh)
+            hh = dense(self.model_channels, f"res_{i}_fc2")(hh)
+            h = h + gate * hh
+
+        mod = dense(2 * self.model_channels, "final_adaLN",
+                    nn.initializers.zeros)(jax.nn.silu(y))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        hn = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                          dtype=jnp.float32, name="final_ln")(h.astype(jnp.float32))
+        hh = hn.astype(self.dtype) * (1 + scale) + shift
+        out = dense(2 * self.in_channels, "final_linear", nn.initializers.zeros)(hh)
+        return out.astype(jnp.float32)
+
+
+class DomainSimpleMLPAdaLN(nn.Module):
+    """Per-domain stacked SimpleMLPAdaLN (action diffusion heads).
+
+    Channels are padded to `in_channels` = max_d_action across domains.
+    """
+
+    num_domains: int
+    in_channels: int
+    model_channels: int
+    z_channels: int
+    num_res_blocks: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, t: jax.Array, c: jax.Array,
+                 domain_id: jax.Array) -> jax.Array:
+        xavier = xavier_uniform_gain(0.1)
+        dd = lambda i, o, name, init=xavier: DomainDense(
+            self.num_domains, i, o, kernel_init=init, dtype=self.dtype, name=name)
+
+        h = dd(self.in_channels, self.model_channels, "input_proj")(x, domain_id)
+        t_emb = _TimestepEmbedder(self.model_channels, dtype=self.dtype,
+                                  name="time_embed")(t)
+        c_emb = dd(self.z_channels, self.model_channels, "cond_embed")(c, domain_id)
+        y = t_emb + c_emb
+
+        for i in range(self.num_res_blocks):
+            mod = dd(self.model_channels, 3 * self.model_channels, f"res_{i}_adaLN",
+                     nn.initializers.zeros)(jax.nn.silu(y), domain_id)
+            shift, scale, gate = jnp.split(mod, 3, axis=-1)
+            hn = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                              name=f"res_{i}_ln")(h.astype(jnp.float32)).astype(self.dtype)
+            hh = hn * (1 + scale) + shift
+            hh = dd(self.model_channels, self.model_channels, f"res_{i}_fc1")(hh, domain_id)
+            hh = jax.nn.silu(hh)
+            hh = dd(self.model_channels, self.model_channels, f"res_{i}_fc2")(hh, domain_id)
+            h = h + gate * hh
+
+        mod = dd(self.model_channels, 2 * self.model_channels, "final_adaLN",
+                 nn.initializers.zeros)(jax.nn.silu(y), domain_id)
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        hn = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                          dtype=jnp.float32, name="final_ln")(h.astype(jnp.float32))
+        hh = hn.astype(self.dtype) * (1 + scale) + shift
+        out = dd(self.model_channels, 2 * self.in_channels, "final_linear",
+                 nn.initializers.zeros)(hh, domain_id)
+        return out.astype(jnp.float32)
+
+
+class DiffLoss(nn.Module):
+    """Diffusion loss head (reference: hma/model/diffloss.py:10-59).
+
+    Methods must be called through module.apply(..., method=...):
+      - loss(target (N,C), z (N,Z), mask (N,) or None, rngs needed)
+      - sample(z (N,Z) [or (2N,Z) with cfg != 1], key) -> (N or 2N, C)
+    """
+
+    target_channels: int
+    z_channels: int
+    depth: int
+    width: int
+    num_sampling_steps: str = "100"
+    num_domains: int = 0  # > 0: domain-stacked net
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        if self.num_domains > 0:
+            self.net = DomainSimpleMLPAdaLN(
+                num_domains=self.num_domains, in_channels=self.target_channels,
+                model_channels=self.width, z_channels=self.z_channels,
+                num_res_blocks=self.depth, dtype=self.dtype, name="net")
+        else:
+            self.net = SimpleMLPAdaLN(
+                in_channels=self.target_channels, model_channels=self.width,
+                z_channels=self.z_channels, num_res_blocks=self.depth,
+                dtype=self.dtype, name="net")
+        self.train_sched = make_schedule("cosine", 1000, "")
+        self.gen_sched = make_schedule("cosine", 1000, self.num_sampling_steps)
+
+    def _apply_net(self, domain_id):
+        if self.num_domains > 0:
+            return lambda x, t, c: self.net(x, t, c, domain_id)
+        return lambda x, t, c: self.net(x, t, c)
+
+    def loss(self, target: jax.Array, z: jax.Array,
+             mask: Optional[jax.Array] = None,
+             domain_id: Optional[jax.Array] = None,
+             dim_mask: Optional[jax.Array] = None) -> jax.Array:
+        """Masked diffusion loss over token rows (reference: diffloss.py:28-35).
+
+        dim_mask: optional (C,) validity mask for padded action channels.
+        """
+        key = self.make_rng("diffusion")
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (target.shape[0],), 0, self.train_sched.num_timesteps)
+        net = self._apply_net(domain_id)
+        if dim_mask is not None:
+            base = net
+            net = lambda x, tt, c: base(x * dim_mask, tt, c)
+            target = target * dim_mask
+        out = training_losses(net, self.train_sched, target, t, z, kn)
+        loss = out["loss"]
+        if mask is not None:
+            loss = jnp.sum(loss * mask) / (jnp.sum(mask) + 1e-8)
+        else:
+            loss = jnp.mean(loss)
+        return loss
+
+    def sample(self, z: jax.Array, key: jax.Array, temperature: float = 1.0,
+               cfg: float = 1.0, clip_denoised: bool = False,
+               domain_id: Optional[jax.Array] = None) -> jax.Array:
+        """Ancestral sampling; with cfg != 1, z is (2N, Z) [cond; uncond]
+        and the returned (2N, C) halves are identical guided samples
+        (reference: diffloss.py:37-59, forward_with_cfg :235-243)."""
+        net = self._apply_net(domain_id)
+        if cfg != 1.0:
+            n = z.shape[0] // 2
+            noise = jax.random.normal(key, (n, self.target_channels), jnp.float32)
+            noise = jnp.concatenate([noise, noise], axis=0)
+
+            def guided(x, t, c):
+                half = x[:n]
+                combined = jnp.concatenate([half, half], axis=0)
+                out = net(combined, t, c)
+                eps, rest = out[..., :self.target_channels], out[..., self.target_channels:]
+                cond_eps, uncond_eps = eps[:n], eps[n:]
+                half_eps = uncond_eps + cfg * (cond_eps - uncond_eps)
+                eps = jnp.concatenate([half_eps, half_eps], axis=0)
+                return jnp.concatenate([eps, rest], axis=-1)
+
+            fn = guided
+        else:
+            noise = jax.random.normal(key, (z.shape[0], self.target_channels), jnp.float32)
+            fn = net
+        key = jax.random.fold_in(key, 1)
+        return p_sample_loop(fn, self.gen_sched, noise, z, key,
+                             temperature=temperature, clip_denoised=clip_denoised)

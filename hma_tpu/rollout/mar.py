@@ -1,0 +1,179 @@
+"""MAR-style continuous-latent rollout with temporal KV caching.
+
+Rebuild of STMAR.generate / maskgit_generate (reference:
+hma/model/st_mar.py:277-454): frames are decoded autoregressively; within
+a frame, a random generation order unmasks patch subsets on a cosine
+count schedule, and each newly-revealed subset's latents are sampled from
+the per-token diffusion head conditioned on the trunk output.
+
+TPU-first restructuring:
+  - the trunk runs the KV-cached single-frame path (frame_latents), not a
+    full T-frame recompute per refinement step;
+  - subset sizes per step are *static* (they depend only on seq_len and
+    maskgit_steps), so subsets are static-size slices of the random order
+    vector padded to the max count — no data-dependent boolean gathers —
+    and the whole frame decode is a lax.scan.
+
+Note: the reference's inner loop never updates `unmasked`
+(st_mar.py:376-389), so it re-samples every not-next-masked position each
+step; we implement the MAR-paper semantics (sample each position exactly
+once, when first revealed), which does strictly less diffusion work.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hma_tpu.models.st_mar import STMAR, patchify, unpatchify
+
+
+def mar_subset_schedule(seq_len: int, steps: int) -> tuple[list[int], list[int]]:
+    """(starts, counts): step s samples order[starts[s] : starts[s]+counts[s]].
+
+    Mirrors the reference's count schedule (st_mar.py:391-399):
+    masked-after-step-s = clamp(floor(seq_len*cos(pi/2*(s+1)/steps)), 1, prev-1),
+    0 after the final step.
+    """
+    starts, counts = [], []
+    prev = seq_len
+    for s in range(steps):
+        if s == steps - 1:
+            nxt = 0
+        else:
+            nxt = int(np.floor(seq_len * math.cos(math.pi / 2 * (s + 1) / steps)))
+            nxt = max(1, min(prev - 1, nxt))
+        starts.append(nxt)
+        counts.append(prev - nxt)
+        prev = nxt
+    return starts, counts
+
+
+def generate_frame_mar(model: STMAR, params, t, k_cache, v_cache,
+                       action_ids, domain_id, key, *,
+                       maskgit_steps: Optional[int] = None,
+                       temperature: float = 1.0, cfg: float = 1.0,
+                       batch_size: int,
+                       initial_patches: Optional[jax.Array] = None):
+    """Decode one frame of patchified latents. Returns
+    (patches (B, S_p, patch_dim), action_latent or None, k_cache, v_cache)
+    with caches filled from the final frame."""
+    cfg_model = model.config
+    steps = maskgit_steps or cfg_model.maskgit_steps
+    S = cfg_model.S // cfg_model.patch_size**2
+    patch_dim = cfg_model.vae_embed_dim * cfg_model.patch_size**2
+    B = batch_size
+
+    starts, counts = mar_subset_schedule(S, steps)
+    maxc = max(counts)
+    # cfg_iter is constant under the reference's (never-updated) unmasked
+    # state: 1 + (cfg-1)*S/S = cfg (st_mar.py:419-424).
+    cfg_iter = cfg
+
+    key, k_order = jax.random.split(key)
+    order = jax.vmap(lambda k: jax.random.permutation(k, S))(
+        jax.random.split(k_order, B))  # (B, S)
+
+    # a fully-masked frame: every patch row is p*p copies of the mask token
+    # (patchify flattens (p, p, C) with C fastest, so tiling matches)
+    mask_row = jnp.tile(params["params"]["mask_token"][0, 0],
+                        (cfg_model.patch_size ** 2,))
+    frame = (initial_patches if initial_patches is not None
+             else jnp.broadcast_to(mask_row, (B, S, patch_dim)).astype(jnp.float32))
+
+    def step_body(carry, xs):
+        frame, key = carry
+        start, count, _ = xs
+        key, k_s = jax.random.split(key)
+        z, action_latent, _, _ = model.apply(
+            params, frame, t, k_cache, v_cache, action_ids, domain_id,
+            method=STMAR.frame_latents)
+        idx = jnp.clip(start + jnp.arange(maxc), 0, S - 1)
+        pos = jnp.take_along_axis(order, idx[None, :].repeat(B, 0), axis=1)  # (B, maxc)
+        z_rows = jnp.take_along_axis(z, pos[..., None], axis=1).reshape(B * maxc, -1)
+        sampled = model.apply(params, z_rows, k_s, temperature, cfg_iter, True,
+                              method=STMAR.sample_tokens)
+        sampled = sampled.reshape(B, maxc, patch_dim).astype(frame.dtype)
+        valid = (jnp.arange(maxc) < count)[None, :, None]
+        cur = jnp.take_along_axis(frame, pos[..., None], axis=1)
+        new = jnp.where(valid, sampled, cur)
+        frame = jax.vmap(lambda f, p, n: f.at[p].set(n))(frame, pos, new)
+        return (frame, key), action_latent
+
+    xs = (jnp.asarray(starts), jnp.asarray(counts), jnp.arange(steps))
+    (frame, _), action_latents = jax.lax.scan(step_body, (frame, key), xs)
+    action_latent = (None if action_latents is None
+                     else jax.tree.map(lambda a: a[-1], action_latents))
+
+    _, _, k_cache, v_cache = model.apply(
+        params, frame, t, k_cache, v_cache, action_ids, domain_id,
+        method=STMAR.frame_latents)
+    return frame, action_latent, k_cache, v_cache
+
+
+def generate_latents(model: STMAR, params, prompt: jax.Array,
+                     num_prompt_frames: int, action_ids, domain_id, key, *,
+                     maskgit_steps: Optional[int] = None,
+                     temperature: float = 1.0, cfg: float = 1.0):
+    """AR rollout over frames. prompt: (B, T, h, w, C) latents (x SVD_SCALE).
+
+    Returns (B, T, h, w, C) with frames >= num_prompt_frames generated
+    (reference: STMAR.generate, st_mar.py:277-345).
+    """
+    cfg_model = model.config
+    B, T, H, W, C = prompt.shape
+    p = cfg_model.patch_size
+    patches = patchify(prompt, p)  # (B, T, h_, w_, pd)
+    S = patches.shape[2] * patches.shape[3]
+    pd = patches.shape[-1]
+    patches = patches.reshape(B, T, S, pd)
+
+    k_cache, v_cache = model.apply(params, B, with_actions=action_ids is not None,
+                                   method=STMAR.init_cache)
+
+    # prefill prompt frames
+    def prefill_body(carry, t):
+        k_cache, v_cache = carry
+        _, _, k_cache, v_cache = model.apply(
+            params, jnp.take(patches, t, axis=1), t, k_cache, v_cache,
+            action_ids, domain_id, method=STMAR.frame_latents)
+        return (k_cache, v_cache), None
+
+    (k_cache, v_cache), _ = jax.lax.scan(
+        prefill_body, (k_cache, v_cache), jnp.arange(num_prompt_frames))
+
+    def frame_body(carry, xs):
+        out, k_cache, v_cache = carry
+        t, key = xs
+        frame, _, k_cache, v_cache = generate_frame_mar(
+            model, params, t, k_cache, v_cache, action_ids, domain_id, key,
+            maskgit_steps=maskgit_steps, temperature=temperature, cfg=cfg,
+            batch_size=B)
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, frame.astype(out.dtype)[:, None], t, axis=1)
+        return (out, k_cache, v_cache), None
+
+    ts = jnp.arange(num_prompt_frames, T)
+    keys = jax.random.split(key, T - num_prompt_frames)
+    (out, _, _), _ = jax.lax.scan(frame_body, (patches, k_cache, v_cache), (ts, keys))
+
+    h_ = H // p
+    out = out.reshape(B, T, h_, h_, pd)
+    return unpatchify(out, p, C)
+
+
+def make_mar_generator(model: STMAR, *, num_prompt_frames: int,
+                       maskgit_steps: Optional[int] = None,
+                       temperature: float = 1.0, cfg: float = 1.0):
+    @jax.jit
+    def run(params, prompt, action_ids, domain_id, key):
+        return generate_latents(model, params, prompt, num_prompt_frames,
+                                action_ids, domain_id, key,
+                                maskgit_steps=maskgit_steps,
+                                temperature=temperature, cfg=cfg)
+
+    return run

@@ -1,0 +1,101 @@
+"""STMAR forward/loss, KV-cache exactness, and MAR rollout tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hma_tpu.config import DiffusionGenieConfig
+from hma_tpu.models.st_mar import STMAR, patchify, unpatchify
+from hma_tpu.rollout.mar import generate_latents, mar_subset_schedule
+
+
+def tiny_config(**kw):
+    d = dict(num_layers=2, num_heads=2, d_model=32, T=4, S=16,
+             image_vocab_size=2**18, num_factored_vocabs=2,
+             vae_embed_dim=4, patch_size=1, diffloss_d=1, diffloss_w=32,
+             num_sampling_steps="5", maskgit_steps=4,
+             action_token_size=8, action_network="concat+modulate",
+             use_actions=True, jointly_predict_actions=True,
+             action_domains=["a"], d_actions=[4],
+             action_stats=[[[0.0, 0.0], [1.0, 1.0]]])
+    d.update(kw)
+    return DiffusionGenieConfig(**d)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = STMAR(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    B, h = 2, cfg.h
+    lat = jnp.asarray(rng.normal(size=(B, cfg.T, h, h, cfg.vae_embed_dim)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(B, cfg.T, h, h)) < 0.5, jnp.int32)
+    mask = mask.at[:, 0].set(0).at[:, 1, 0, 0].set(1)
+    actions = jnp.asarray(rng.normal(size=(B, cfg.T, cfg.max_d_action)), jnp.float32)
+    dom = jnp.asarray(0, jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "action_drop": jax.random.PRNGKey(2)},
+        lat, lat, actions, dom, mask)
+    return cfg, model, params, lat, mask, actions, dom
+
+
+def test_patchify_roundtrip():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 3, 8, 8, 4)), jnp.float32)
+    p2 = patchify(x, 2)
+    assert p2.shape == (2, 3, 4, 4, 16)
+    back = unpatchify(p2, 2, 4)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_forward_losses(setup):
+    cfg, model, params, lat, mask, actions, dom = setup
+    out = model.apply(params, lat, lat, actions, dom, mask,
+                      rngs={"diffusion": jax.random.PRNGKey(3),
+                            "action_drop": jax.random.PRNGKey(4)})
+    assert np.isfinite(float(out["loss"]))
+    assert np.isfinite(float(out["action_loss"]))
+
+
+def test_frame_latents_match_full_forward(setup):
+    cfg, model, params, lat, mask, actions, dom = setup
+    B, T = lat.shape[:2]
+    patches = patchify(lat, cfg.patch_size)
+    S = patches.shape[2] * patches.shape[3]
+    patches = patches.reshape(B, T, S, -1)
+
+    z_full, _ = model.apply(params, patches.reshape(B, T, patches.shape[2], -1),
+                            actions, dom, method=STMAR.compute_latents)
+
+    k_cache, v_cache = model.apply(params, B, method=STMAR.init_cache)
+    for t in range(T):
+        z_t, _, k_cache, v_cache = model.apply(
+            params, patches[:, t], jnp.asarray(t, jnp.int32), k_cache, v_cache,
+            actions, dom, method=STMAR.frame_latents)
+    np.testing.assert_allclose(np.asarray(z_t), np.asarray(z_full[:, T - 1]),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_mar_subset_schedule():
+    starts, counts = mar_subset_schedule(16, 4)
+    assert sum(counts) == 16
+    # prefix property: predicted slices tile [0, 16) in reverse
+    covered = []
+    for s, c in zip(starts, counts):
+        covered += list(range(s, s + c))
+    assert sorted(covered) == list(range(16))
+
+
+def test_mar_generation(setup):
+    cfg, model, params, lat, mask, actions, dom = setup
+    out = generate_latents(model, params, lat, 2, actions, dom,
+                           jax.random.PRNGKey(0), maskgit_steps=4)
+    assert out.shape == lat.shape
+    # prompt frames preserved exactly
+    np.testing.assert_allclose(np.asarray(out[:, :2]), np.asarray(lat[:, :2]),
+                               rtol=1e-6)
+    assert np.isfinite(np.asarray(out)).all()
+    # generated frames differ from the (masked-out) originals
+    assert not np.allclose(np.asarray(out[:, 2:]), np.asarray(lat[:, 2:]))
