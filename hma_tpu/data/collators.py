@@ -54,7 +54,8 @@ def maskgit_collate(batch: list[dict], config: GenieConfig,
     if rng.uniform() < config.non_mlm_ratio:
         # leave frames [0, first_masked_frame) unmasked; corrupt later
         # frames with compounding rates (reference: hma/data.py:51-64)
-        first_masked_frame = int(rng.integers(config.num_prompt_frames, config.T))
+        lo = min(config.num_prompt_frames, config.T - 1)
+        first_masked_frame = int(rng.integers(lo, config.T))
         correct_rate = rng.uniform(config.dataloader_mask_ratio_min, 1.0)
         for i in range(first_masked_frame, T):
             correct_rate *= rng.uniform(0.9, 1.0)
@@ -101,7 +102,8 @@ def maskgit_collate_feature(batch: list[dict], config: GenieConfig,
     mask_token_indicator = np.zeros((B, T, h, w), dtype=np.int32)
     if config.dataloader_apply_mask:
         if rng.uniform() < config.non_mlm_ratio:
-            first_masked_frame = int(rng.integers(config.num_prompt_frames, config.T))
+            lo = min(config.num_prompt_frames, config.T - 1)
+            first_masked_frame = int(rng.integers(lo, config.T))
         else:
             first_masked_frame = 1
         mask = np.zeros((B, T - first_masked_frame, h, w), dtype=bool)

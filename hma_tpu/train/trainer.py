@@ -1,0 +1,425 @@
+"""Multi-dataset training driver.
+
+Rebuild of the reference entry point (hma/train_multi.py): per-domain
+memmap datasets from a datasplit YAML, temperature-weighted batch
+sampling, a jitted sharded train step, periodic teacher-forced eval and
+checkpointing. Differences are all TPU-architectural:
+  - one process drives all local devices through a (dp, fsdp, tp) mesh
+    (no torchrun/Accelerate process-per-GPU);
+  - domains are integer ids into stacked parameter tables, so one
+    compiled step serves every dataset in the mixture;
+  - batches are assembled host-side by pure-numpy collators and fed as
+    device arrays sharded on the batch axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from hma_tpu.config import DiffusionGenieConfig, GenieConfig, load_config
+from hma_tpu.data.collators import maskgit_collate, maskgit_collate_feature
+from hma_tpu.data.datasets import RawFeatureDataset, RawTokenDataset
+from hma_tpu.data.sampler import MultiTaskBatchSampler
+from hma_tpu.models.st_mar import STMAR
+from hma_tpu.models.st_mask_git import STMaskGIT
+from hma_tpu.parallel.mesh import batch_sharding, make_mesh, make_param_shardings
+from hma_tpu.train.step import (
+    TrainState,
+    custom_cosine_schedule,
+    make_optimizer,
+    make_train_step,
+    scale_lr_by_batch,
+)
+from hma_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from hma_tpu.utils.logging import MetricLogger
+
+
+@dataclass
+class TrainArgs:
+    """Mirrors the reference CLI surface (hma/train_multi.py:62-307)."""
+
+    genie_config: str = ""
+    output_dir: str = "out"
+    train_split: str = "experiments/datasplit/dataset1.yaml"
+    data_root: str = "data"
+    model_type: str = "discrete"  # discrete | continuous
+    window_size: int = 12
+    stride: int = 1
+    filter_overlaps: bool = False
+    num_episodes_per_dataset: int = 1_000_000
+    per_device_train_batch_size: int = 4
+    per_device_eval_batch_size: int = 4
+    gradient_accumulation_steps: int = 1
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.05
+    num_train_epochs: int = 2
+    max_train_steps: Optional[int] = None
+    max_eval_steps: int = 10
+    eval_every_n_steps: int = 1000
+    vis_every_n_steps: int = 10_000_000
+    lr_scheduler_type: str = "custom_cosine"
+    num_warmup_steps: int = 500
+    max_grad_norm: float = 1.0
+    adam_beta_1: float = 0.9
+    adam_beta_2: float = 0.999
+    adam_eps: float = 1e-8
+    checkpointing_steps: str = "1000"
+    keep_checkpoints: int = 3
+    seed: int = 42
+    overfit_first_batch: bool = False
+    resume_from_checkpoint: Optional[str] = None
+    mu_transfer: bool = False
+    action_network: Optional[str] = None
+    run_name: str = ""
+    report_to: str = "jsonl"
+    # mesh
+    dp: Optional[int] = None
+    fsdp: int = 1
+    tp: int = 1
+    log_every: int = 10
+
+
+def build_domain_datasets(args: TrainArgs, config):
+    """Per-domain train/val datasets + shared metadata
+    (reference: train_multi.py:808-884)."""
+    with open(args.train_split) as f:
+        datasplit = yaml.safe_load(f)
+    domains = [d.strip() for d in datasplit["domains"].split(",")]
+
+    discrete = args.model_type == "discrete"
+    fmt = ("{root}/{domain}_magvit_max1000000_{split}" if discrete
+           else "{root}/{domain}_vae_max1000000_{split}")
+    shared_keys = (("s", "h", "w", "vocab_size") if discrete
+                   else ("s", "h", "w", "latent_channels"))
+    cls = RawTokenDataset if discrete else RawFeatureDataset
+
+    kwargs = dict(window_size=args.window_size, stride=args.stride,
+                  max_traj_num=args.num_episodes_per_dataset,
+                  use_actions=config.use_actions)
+
+    train_sets, val_sets, action_dims, action_stats = [], [], [], []
+    for domain in domains:
+        tdir = fmt.format(root=args.data_root, domain=domain, split="train")
+        vdir = fmt.format(root=args.data_root, domain=domain, split="val")
+        name_kw = {"name": domain} if discrete else {"domain": domain}
+        tds = cls(tdir, filter_overlaps=args.filter_overlaps, **name_kw, **kwargs)
+        train_sets.append(tds)
+        action_dims.append(tds.n_action)
+        if config.use_actions:
+            action_stats.append(tds.action_stat)
+        if args.overfit_first_batch:
+            val_sets.append(tds)  # truncated to one batch in run_training
+        else:
+            val_sets.append(cls(vdir, filter_overlaps=True, **name_kw, **kwargs))
+
+    meta = train_sets[0].metadata
+    shared = {k: meta[k] for k in shared_keys if k in meta}
+    return domains, train_sets, val_sets, action_dims, action_stats, shared
+
+
+def configure_model(args: TrainArgs, config, domains, action_dims, action_stats,
+                    shared_metadata):
+    """Inject dataset-derived fields into the model config
+    (reference: train_multi.py:875-894)."""
+    config.use_mup = args.mu_transfer
+    if "vocab_size" in shared_metadata:
+        config.image_vocab_size = shared_metadata["vocab_size"]
+    config.T = args.window_size
+    config.S = shared_metadata["h"] * shared_metadata["w"]
+    if args.model_type == "continuous":
+        config.vae_embed_dim = shared_metadata["latent_channels"]
+    if args.action_network is not None:
+        config.action_network = args.action_network
+    if config.use_actions:
+        config.init_actions = True
+        config.action_domains = domains
+        config.d_actions = action_dims
+        config.action_stats = action_stats
+    # re-derive factored vocab
+    config.__post_init__()
+    return config
+
+
+def _pad_actions(a: np.ndarray, width: int) -> np.ndarray:
+    if a.shape[-1] == width:
+        return a
+    pad = np.zeros((*a.shape[:-1], width - a.shape[-1]), a.dtype)
+    return np.concatenate([a, pad], axis=-1)
+
+
+class BatchAssembler:
+    """Sampler indices -> collated device-ready numpy batch."""
+
+    def __init__(self, datasets, domains, config, args, rng, discrete: bool):
+        self.datasets = datasets
+        self.offsets = np.cumsum([0] + [len(d) for d in datasets[:-1]])
+        self.domains = domains
+        self.config = config
+        self.args = args
+        self.rng = rng
+        self.discrete = discrete
+
+    def __call__(self, global_indices: np.ndarray) -> dict:
+        ds_idx = int(np.searchsorted(self.offsets, global_indices[0], side="right") - 1)
+        local = global_indices - self.offsets[ds_idx]
+        items = [self.datasets[ds_idx][int(i)] for i in local]
+        collate = maskgit_collate if self.discrete else maskgit_collate_feature
+        batch = collate(items, self.config, self.rng)
+        T = self.config.T
+        B = len(items)
+        h, w = batch["h"][0], batch["w"][0]
+        out = {}
+        if self.discrete:
+            out["input_ids"] = batch["input_ids"].reshape(B, T, h * w)
+            out["labels"] = batch["labels"].reshape(B, T, h * w)
+        else:
+            C = batch["input_ids"].shape[-1]
+            out["input_ids"] = batch["input_ids"].reshape(B, T, h, w, C)
+            out["labels"] = batch["labels"].reshape(B, T, h, w, C)
+            out["masked_tokens_indicator"] = batch["masked_tokens_indicator"]
+        if "action_ids" in batch:
+            out["action_ids"] = _pad_actions(batch["action_ids"],
+                                             self.config.max_d_action)
+        out["domain_id"] = np.asarray(ds_idx, np.int32)
+        return out
+
+
+def make_model(args: TrainArgs, config):
+    if args.model_type == "discrete":
+        return STMaskGIT(config)
+    return STMAR(config)
+
+
+def run_training(args: TrainArgs) -> dict:
+    """Main loop; returns final metrics (for tests)."""
+    config = load_config(args.genie_config)
+    if args.model_type == "continuous" and not isinstance(config, DiffusionGenieConfig):
+        config = DiffusionGenieConfig(**{f.name: getattr(config, f.name)
+                                         for f in dataclasses.fields(GenieConfig)})
+
+    domains, train_sets, val_sets, action_dims, action_stats, shared = (
+        build_domain_datasets(args, config))
+    config = configure_model(args, config, domains, action_dims, action_stats, shared)
+    discrete = args.model_type == "discrete"
+    model = make_model(args, config)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, dp=args.dp, fsdp=args.fsdp, tp=args.tp) \
+        if n_dev > 1 else None
+
+    B = args.per_device_train_batch_size * max(n_dev, 1)
+    effective_batch = B * args.gradient_accumulation_steps
+    lr = scale_lr_by_batch(args.learning_rate, effective_batch)
+
+    if args.overfit_first_batch:
+        # one effective batch total, reused for train and val
+        # (reference: train_multi.py:852-858)
+        for ds in train_sets:
+            ds.valid_start_inds = ds.valid_start_inds[:effective_batch]
+
+    sampler = MultiTaskBatchSampler([len(d) for d in train_sets],
+                                    batch_size=B, temperature=3.0, seed=args.seed)
+    steps_per_epoch = max(len(sampler) // args.gradient_accumulation_steps, 1)
+    max_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
+
+    if args.lr_scheduler_type == "custom_cosine":
+        schedule = custom_cosine_schedule(lr, args.num_warmup_steps, max_steps)
+    else:
+        import optax
+
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, lr, args.num_warmup_steps, max_steps)
+
+    rng_np = np.random.default_rng(args.seed)
+    assembler = BatchAssembler(train_sets, domains, config, args, rng_np, discrete)
+    val_assembler = BatchAssembler(val_sets, domains, config, args,
+                                   np.random.default_rng(0), discrete)
+
+    # init params from one example batch
+    example = next(iter(sampler))
+    batch0 = assembler(example)
+    init_rngs = {"params": jax.random.PRNGKey(args.seed),
+                 "diffusion": jax.random.PRNGKey(args.seed + 1),
+                 "action_drop": jax.random.PRNGKey(args.seed + 2)}
+    dev_batch0 = {k: jnp.asarray(v) for k, v in batch0.items()}
+    params = model.init(init_rngs, dev_batch0["input_ids"], dev_batch0["labels"],
+                        dev_batch0.get("action_ids"), dev_batch0["domain_id"],
+                        *([dev_batch0["masked_tokens_indicator"]] if not discrete else []))
+
+    tx = make_optimizer(schedule, args.weight_decay, args.adam_beta_1,
+                        args.adam_beta_2, args.adam_eps, args.max_grad_norm,
+                        params_template=params)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        shardings = make_param_shardings(params, mesh)
+        params = jax.device_put(params, shardings)
+        # init the optimizer under jit so mu/nu inherit the param shardings;
+        # leaves that come back on fewer devices (e.g. the step counter)
+        # are re-put replicated over the full mesh
+        rep = NamedSharding(mesh, PartitionSpec())
+        opt_state = jax.jit(tx.init)(params)
+        opt_state = jax.tree.map(
+            lambda x: x if (hasattr(x, "sharding")
+                            and len(x.sharding.device_set) == n_dev)
+            else jax.device_put(x, rep), opt_state)
+        step0 = jax.device_put(jnp.asarray(0), rep)
+        state = TrainState(params, opt_state, step0)
+    else:
+        state = TrainState(params, tx.init(params), jnp.asarray(0))
+
+    start_step = 0
+    resume = args.resume_from_checkpoint
+    if resume == "latest":
+        resume = latest_checkpoint(args.output_dir)
+    if resume:
+        state = load_checkpoint(resume, state)
+        start_step = int(state.step)
+
+    microbatch = (args.per_device_train_batch_size * max(n_dev, 1)
+                  if args.gradient_accumulation_steps > 1 else 0)
+
+    def wrap_loss(model, discrete):
+        if discrete:
+            return model
+        return model
+
+    # continuous model takes masked_tokens_indicator; adapt the step fn
+    if discrete:
+        train_step = jax.jit(make_train_step(
+            model, tx, action_loss_weight=config.action_loss_weight,
+            microbatch=microbatch))
+    else:
+        import optax
+
+        def step_fn(state, batch, rng):
+            def loss_fn(p):
+                out = model.apply(
+                    p, batch["input_ids"], batch["labels"],
+                    batch.get("action_ids"), batch.get("domain_id"),
+                    batch["masked_tokens_indicator"], deterministic=False,
+                    rngs={"diffusion": rng, "dropout": jax.random.fold_in(rng, 1),
+                          "action_drop": jax.random.fold_in(rng, 2)})
+                loss = out["loss"]
+                metrics = {"loss": out["loss"], "acc": out["acc"]}
+                if "action_loss" in out:
+                    loss = loss + config.action_loss_weight * out["action_loss"]
+                    metrics["action_loss"] = out["action_loss"]
+                return loss, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            ok = jnp.isfinite(metrics["loss"])
+            grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_params = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                                      new_params, state.params)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return TrainState(new_params, opt_state, state.step + 1), metrics
+
+        train_step = jax.jit(step_fn)
+
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    exp_config = {**dataclasses.asdict(args), **{
+        "model_parameters": int(n_params),
+        "model_parameters_M": round(n_params / 1e6),
+        "effective_batch_size": effective_batch,
+        "seq_len": config.T * config.S,
+        "FLOPs_per_update_step": 6 * n_params * effective_batch * config.T * config.S,
+        "num_datasets": len(domains),
+    }}
+    logger = MetricLogger(args.output_dir, project="video", config=exp_config,
+                          use_wandb=args.report_to == "wandb")
+
+    ckpt_every = int(args.checkpointing_steps) if str(args.checkpointing_steps).isdigit() else None
+    put = batch_sharding(mesh) if mesh is not None else None
+    step_i = start_step
+    epoch = 0
+    t_last = time.time()
+    last_metrics = {}
+
+    while step_i < max_steps:
+        sampler.set_epoch(epoch)
+        for indices in sampler:
+            if step_i >= max_steps:
+                break
+            batch = assembler(indices)
+            dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            if put is not None:
+                dev = {k: jax.device_put(v, put(v)) if getattr(v, "ndim", 0) >= 1
+                       else v for k, v in dev.items()}
+            state, metrics = train_step(state, dev, jax.random.PRNGKey(step_i))
+            step_i += 1
+
+            if step_i % args.log_every == 0 or step_i == max_steps:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t_last
+                m["steps_per_sec"] = args.log_every / max(dt, 1e-9)
+                m["lr"] = float(schedule(step_i))
+                t_last = time.time()
+                logger.log({f"train/{k}": v for k, v in m.items()}, step=step_i)
+                last_metrics = m
+
+            if step_i % args.eval_every_n_steps == 0 or step_i == max_steps:
+                eval_metrics = run_eval(model, state.params, val_assembler,
+                                        val_sets, args, discrete, put)
+                logger.log({f"val/{k}": v for k, v in eval_metrics.items()},
+                           step=step_i)
+
+            if ckpt_every and step_i % ckpt_every == 0:
+                save_checkpoint(args.output_dir, f"step_{step_i}", state, config,
+                                keep_last=args.keep_checkpoints)
+        epoch += 1
+        if args.checkpointing_steps == "epoch":
+            save_checkpoint(args.output_dir, f"epoch_{epoch}", state, config,
+                            keep_last=args.keep_checkpoints)
+
+    save_checkpoint(args.output_dir, "final_checkpt", state, config)
+    logger.close()
+    return last_metrics
+
+
+def run_eval(model, params, val_assembler, val_sets, args, discrete, put=None):
+    """Teacher-forced eval over a few val batches
+    (reference: train_multi.py:641-728)."""
+    B = args.per_device_eval_batch_size * max(len(jax.devices()), 1)
+    sampler = MultiTaskBatchSampler([len(d) for d in val_sets], batch_size=B,
+                                    temperature=4.0, seed=0)
+    metrics_acc: dict = {}
+    n = 0
+    for i, indices in enumerate(sampler):
+        if i >= args.max_eval_steps:
+            break
+        batch = val_assembler(indices)
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = model.apply(
+            params, dev["input_ids"], dev["labels"], dev.get("action_ids"),
+            dev.get("domain_id"),
+            *([dev["masked_tokens_indicator"]] if not discrete else []),
+            rngs={"diffusion": jax.random.PRNGKey(i),
+                  "action_drop": jax.random.PRNGKey(i + 1)})
+        for k in ("loss", "acc", "action_loss"):
+            if k in out:
+                metrics_acc[k] = metrics_acc.get(k, 0.0) + float(out[k])
+        n += 1
+    out = {k: v / max(n, 1) for k, v in metrics_acc.items()}
+    if "loss" in out:
+        out["perplexity"] = math.exp(min(out["loss"], 30))
+    return out
