@@ -1,0 +1,218 @@
+"""Interactive learned world-model simulators.
+
+Rebuild of the reference simulator stack (sim/simulator.py): abstract
+Simulator / PhysicsSimulator / LearnedSimulator / ReplaySimulator, and
+GenieSimulator — a stateful interactive world model holding rolling
+caches of the last `prompt_horizon` frames (tokens or latents) and
+actions; `step(action)` appends a masked frame, MaskGIT-decodes it,
+decodes to pixels, and rolls the caches (reference: sim/simulator.py:
+100-372).
+
+TPU design: the per-step work is ONE jitted program (prefill the rolling
+window into the temporal KV cache + cached MaskGIT refinement of the new
+frame + optional pixel decode), so interactive latency is a single
+dispatch. The reference runs `inference_iterations` full-stack torch
+forwards plus a separate VAE decode per keypress.
+"""
+
+from __future__ import annotations
+
+import abc
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hma_tpu.models.st_mask_git import STMaskGIT
+from hma_tpu.rollout.maskgit import generate_frame, _prefill
+
+
+class Simulator(abc.ABC):
+    """(reference: sim/simulator.py:19-96)"""
+
+    @abc.abstractmethod
+    def step(self, action: np.ndarray) -> np.ndarray:
+        ...
+
+    @abc.abstractmethod
+    def reset(self):
+        ...
+
+
+class PhysicsSimulator(Simulator):
+    """Adapter around a ground-truth physics env (e.g. robosuite/MuJoCo);
+    host-side only, used for side-by-side comparison."""
+
+    def __init__(self, env):
+        self.env = env
+
+    def step(self, action):
+        obs = self.env.step(action)
+        return np.asarray(obs)
+
+    def reset(self):
+        return self.env.reset()
+
+
+class ReplaySimulator(Simulator):
+    """Replays a prerecorded frame sequence, ignoring actions."""
+
+    def __init__(self, frames: np.ndarray):
+        self.frames = frames
+        self.idx = 0
+
+    def step(self, action=None):
+        frame = self.frames[min(self.idx, len(self.frames) - 1)]
+        self.idx += 1
+        return frame
+
+    def reset(self):
+        self.idx = 0
+        return self.frames[0]
+
+
+class LearnedSimulator(Simulator, abc.ABC):
+    """Marker base for model-backed simulators."""
+
+
+class GenieSimulator(LearnedSimulator):
+    """Action-controllable interactive world model (discrete STMaskGIT).
+
+    Args:
+        model/params: the trained world model.
+        decode_tokens: (N, h, w) int -> (N, H, W, 3) uint8 pixels, or None
+            to return token frames.
+        encode_image: (H, W, 3) uint8 -> (h, w) int tokens, or None when
+            initial state is provided as tokens.
+        prompt_horizon: number of context frames kept in the rolling cache.
+        physics_simulator: optional ground-truth sim for PSNR comparison.
+    """
+
+    def __init__(self, model: STMaskGIT, params, *,
+                 domain_id: int = 0,
+                 prompt_horizon: int = 3,
+                 maskgit_steps: int = 2,
+                 temperature: float = 0.0,
+                 decode_tokens: Optional[Callable] = None,
+                 encode_image: Optional[Callable] = None,
+                 physics_simulator: Optional[Simulator] = None,
+                 action_noise_scale: float = 0.0,
+                 seed: int = 0):
+        cfg = model.config
+        assert prompt_horizon < cfg.T, "prompt_horizon must fit the trained window"
+        self.model = model
+        self.params = params
+        self.config = cfg
+        self.domain_id = jnp.asarray(domain_id, jnp.int32)
+        self.prompt_horizon = prompt_horizon
+        self.decode_tokens = decode_tokens
+        self.encode_image = encode_image
+        self.physics = physics_simulator
+        self.action_noise_scale = action_noise_scale
+        self.key = jax.random.PRNGKey(seed)
+        self._step_times: list[float] = []
+
+        H = prompt_horizon
+
+        def _step(params, window_tokens, window_actions, key):
+            """window_tokens: (1, H+1, S) with the last frame masked;
+            window_actions: (1, H+1, max_da)."""
+            k_cache, v_cache = model.apply(
+                params, 1, with_actions=True, method=STMaskGIT.init_cache)
+            k_cache, v_cache = _prefill(model, params, window_tokens,
+                                        k_cache, v_cache, window_actions,
+                                        self.domain_id, H)
+            masked = jnp.full((1, cfg.S), model.mask_token_id, jnp.int32)
+            tokens, _, _, _ = generate_frame(
+                model, params, masked, jnp.asarray(H, jnp.int32),
+                k_cache, v_cache, window_actions, self.domain_id, key,
+                maskgit_steps=maskgit_steps, temperature=temperature)
+            return tokens[0]
+
+        self._step_fn = jax.jit(_step)
+        self._token_cache: Optional[np.ndarray] = None  # (H, h, w)
+        self._action_cache: Optional[np.ndarray] = None  # (H, max_da)
+
+    # ------------------------------------------------------------------
+
+    def set_initial_state(self, frames, actions=None) -> None:
+        """frames: (prompt_horizon, h, w) token grids, or (prompt_horizon,
+        H, W, 3) uint8 images when an encoder is configured
+        (reference: set_initial_state/reset, sim/simulator.py:228,473)."""
+        frames = np.asarray(frames)
+        if frames.ndim == 4:  # images
+            assert self.encode_image is not None, "need encode_image for pixel input"
+            frames = np.stack([np.asarray(self.encode_image(f)) for f in frames])
+        assert frames.shape[0] == self.prompt_horizon
+        self._token_cache = frames.astype(np.int32)
+        da = self.config.max_d_action
+        if actions is None:
+            actions = np.zeros((self.prompt_horizon, da), np.float32)
+        self._action_cache = np.asarray(actions, np.float32)
+
+    def reset(self):
+        if self.physics is not None:
+            obs = self.physics.reset()
+            self.set_initial_state(np.stack([obs] * self.prompt_horizon))
+        assert self._token_cache is not None, "call set_initial_state first"
+        return self._current_frame()
+
+    def _current_frame(self):
+        tokens = self._token_cache[-1]
+        if self.decode_tokens is not None:
+            return self.decode_tokens(tokens[None])[0]
+        return tokens
+
+    def step(self, action: np.ndarray):
+        """Advance one frame under `action` (reference: sim/simulator.py:234-372).
+
+        Returns decoded pixels (H, W, 3) uint8, or raw (h, w) tokens when
+        no decoder is configured.
+        """
+        assert self._token_cache is not None, "call set_initial_state first"
+        t0 = time.perf_counter()
+        action = np.asarray(action, np.float32).reshape(-1)
+        da = self.config.max_d_action
+        padded = np.zeros(da, np.float32)
+        padded[:len(action)] = action
+        if self.action_noise_scale > 0:
+            padded = padded + np.random.normal(0, self.action_noise_scale, da)
+
+        H, S = self.prompt_horizon, self.config.S
+        window = np.concatenate([
+            self._token_cache.reshape(H, S),
+            np.full((1, S), self.model.mask_token_id, np.int32)])[None]
+        actions = np.concatenate([self._action_cache, padded[None]])[None]
+
+        self.key, k = jax.random.split(self.key)
+        tokens = np.asarray(self._step_fn(
+            self.params, jnp.asarray(window), jnp.asarray(actions), k))
+        frame_tokens = tokens.reshape(self.config.h, self.config.w)
+
+        # roll caches forward
+        self._token_cache = np.concatenate(
+            [self._token_cache[1:], frame_tokens[None]])
+        self._action_cache = np.concatenate([self._action_cache[1:], padded[None]])
+
+        out = frame_tokens
+        if self.decode_tokens is not None:
+            out = self.decode_tokens(frame_tokens[None])[0]
+        self._step_times.append(time.perf_counter() - t0)
+        return out
+
+    # ------------------------------------------------------------------
+
+    def measure_step_time(self) -> dict:
+        """IQR-trimmed mean step latency (reference: sim/simulator.py:284-306)."""
+        if not self._step_times:
+            return {}
+        ts = np.asarray(self._step_times)
+        q1, q3 = np.percentile(ts, [25, 75])
+        inlier = ts[(ts >= q1) & (ts <= q3)]
+        return {
+            "p50_ms": float(np.median(ts) * 1000),
+            "iqr_mean_ms": float(np.mean(inlier) * 1000) if len(inlier) else float("nan"),
+            "n": len(ts),
+        }
