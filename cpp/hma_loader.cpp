@@ -1,0 +1,289 @@
+// Native data loader for hma_tpu: mmap token datasets + MaskGIT collation
+// with prefetch threads.
+//
+// TPU-native replacement for the reference's torch DataLoader worker
+// processes (hma/train_multi.py:948, torch C++ dataloader machinery):
+// the hot host-side path — windowed memmap reads, base-512 factorization,
+// Copilot4D corruption, non-MLM prefix masking, and cosine-scheduled
+// MaskGIT masking (semantics of hma/data.py:28-95) — runs in C++ worker
+// threads feeding a bounded queue, so the TPU never waits on Python.
+//
+// C ABI (used via ctypes from hma_tpu/data/native_loader.py):
+//   hma_loader_create(...)        -> opaque handle
+//   hma_loader_next(handle, ...)  -> blocking copy of one batch
+//   hma_loader_destroy(handle)
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libhma_loader.so hma_loader.cpp -lpthread
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <fcntl.h>
+#include <mutex>
+#include <random>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+namespace {
+
+constexpr double kPi = 3.14159265358979323846;
+
+struct Mmap {
+  void* data = nullptr;
+  size_t size = 0;
+  bool open(const char* path) {
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0) { close(fd); return false; }
+    size = st.st_size;
+    data = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    close(fd);
+    return data != MAP_FAILED;
+  }
+  ~Mmap() { if (data && data != MAP_FAILED) munmap(data, size); }
+};
+
+struct Batch {
+  std::vector<int32_t> input_ids;  // B * T * S
+  std::vector<int32_t> labels;     // B * T * S
+  std::vector<float> actions;      // B * T * action_width (may be empty)
+};
+
+struct LoaderConfig {
+  int64_t num_images;
+  int h, w;
+  int window_size;     // T
+  int stride;
+  int batch_size;
+  int action_dim;      // per-frame action dim in the file (0 = no actions)
+  int action_width;    // padded output width = action_dim * stride padded
+  // collator knobs (reference: hma/config.py:34-40, hma/data.py:42-83)
+  int mask_token_id;   // == image_vocab_size
+  int factored_vocab_size;
+  int num_factored_vocabs;
+  double max_corrupt_rate;
+  double non_mlm_ratio;
+  int num_prompt_frames;
+  double mask_ratio_min;
+  int apply_corruption;
+  int apply_mask;
+  uint64_t seed;
+  int num_threads;
+  int queue_depth;
+};
+
+class Loader {
+ public:
+  Loader(const LoaderConfig& cfg, const char* video_path,
+         const char* seg_path, const char* actions_path)
+      : cfg_(cfg) {
+    ok_ = video_.open(video_path);
+    if (seg_path && seg_path[0]) has_segs_ = segs_.open(seg_path);
+    if (actions_path && actions_path[0]) has_actions_ = acts_.open(actions_path);
+    if (!ok_) return;
+    build_valid_starts();
+    if (valid_starts_.empty()) { ok_ = false; return; }
+    stop_.store(false);
+    for (int i = 0; i < cfg_.num_threads; ++i)
+      workers_.emplace_back([this, i] { worker(i); });
+  }
+
+  ~Loader() {
+    stop_.store(true);
+    cv_pop_.notify_all();
+    cv_push_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  bool ok() const { return ok_; }
+  int64_t num_windows() const { return (int64_t)valid_starts_.size(); }
+
+  bool next(int32_t* input_ids, int32_t* labels, float* actions) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_pop_.wait(lk, [this] { return !queue_.empty() || stop_.load(); });
+    if (queue_.empty()) return false;
+    Batch b = std::move(queue_.front());
+    queue_.pop_front();
+    lk.unlock();
+    cv_push_.notify_one();
+    std::memcpy(input_ids, b.input_ids.data(), b.input_ids.size() * 4);
+    std::memcpy(labels, b.labels.data(), b.labels.size() * 4);
+    if (actions && !b.actions.empty())
+      std::memcpy(actions, b.actions.data(), b.actions.size() * 4);
+    return true;
+  }
+
+ private:
+  const uint32_t* video() const { return (const uint32_t*)video_.data; }
+  const int32_t* segs() const { return (const int32_t*)segs_.data; }
+  const float* acts() const { return (const float*)acts_.data; }
+
+  void build_valid_starts() {
+    // windows must not straddle segment boundaries
+    // (reference: hma/data.py:237-244)
+    int64_t video_len = (int64_t)(cfg_.window_size - 1) * cfg_.stride;
+    int64_t n = cfg_.num_images - video_len - cfg_.stride;
+    for (int64_t s = 0; s < n; ++s) {
+      if (has_segs_ && segs()[s] != segs()[s + video_len]) continue;
+      valid_starts_.push_back(s);
+    }
+  }
+
+  void collate(std::mt19937_64& rng, Batch* out) {
+    const int T = cfg_.window_size, S = cfg_.h * cfg_.w, B = cfg_.batch_size;
+    const int nv = cfg_.num_factored_vocabs, fv = cfg_.factored_vocab_size;
+    std::uniform_real_distribution<double> uni(0.0, 1.0);
+    std::uniform_int_distribution<int64_t> pick(0, (int64_t)valid_starts_.size() - 1);
+    std::uniform_int_distribution<int> rand_tok(0, fv - 1);
+
+    out->input_ids.resize((size_t)B * T * S);
+    out->labels.resize((size_t)B * T * S);
+    if (has_actions_ && cfg_.action_width > 0)
+      out->actions.assign((size_t)B * T * cfg_.action_width, 0.f);
+
+    // gather windows
+    std::vector<int32_t> factored((size_t)B * T * S * nv);
+    for (int b = 0; b < B; ++b) {
+      int64_t start = valid_starts_[pick(rng)];
+      for (int t = 0; t < T; ++t) {
+        int64_t frame = start + (int64_t)t * cfg_.stride;
+        const uint32_t* src = video() + frame * S;
+        int32_t* lab = out->labels.data() + ((size_t)b * T + t) * S;
+        int32_t* fac = factored.data() + (((size_t)b * T + t) * S) * nv;
+        for (int s = 0; s < S; ++s) {
+          int32_t id = (int32_t)src[s];
+          lab[s] = id;
+          int32_t rem = id;
+          for (int k = 0; k < nv; ++k) { fac[s * nv + k] = rem % fv; rem /= fv; }
+        }
+        if (has_actions_ && cfg_.action_width > 0) {
+          // stride-concatenated raw actions (reference: hma/data.py:286-291)
+          float* dst = out->actions.data() +
+                       ((size_t)b * T + t) * cfg_.action_width;
+          for (int j = 0; j < cfg_.stride; ++j) {
+            const float* a = acts() + (frame + j) * cfg_.action_dim;
+            std::memcpy(dst + j * cfg_.action_dim, a, cfg_.action_dim * 4);
+          }
+        }
+      }
+    }
+
+    // Copilot4D-style uniform corruption (reference: hma/data.py:42-49)
+    if (cfg_.apply_corruption) {
+      double rate = cfg_.max_corrupt_rate * uni(rng);
+      for (auto& v : factored)
+        if (uni(rng) < rate) v = rand_tok(rng);
+    }
+
+    // non-MLM prefix branch (reference: hma/data.py:51-64)
+    int first_masked_frame = 1;
+    if (uni(rng) < cfg_.non_mlm_ratio) {
+      int lo = std::min(cfg_.num_prompt_frames, T - 1);
+      std::uniform_int_distribution<int> fr(lo, T - 1);
+      first_masked_frame = fr(rng);
+      double correct = cfg_.mask_ratio_min +
+                       uni(rng) * (1.0 - cfg_.mask_ratio_min);
+      for (int t = first_masked_frame; t < T; ++t) {
+        correct *= 0.9 + 0.1 * uni(rng);
+        for (int b = 0; b < B; ++b) {
+          int32_t* fac = factored.data() + (((size_t)b * T + t) * S) * nv;
+          for (int i = 0; i < S * nv; ++i)
+            if (uni(rng) > correct) fac[i] = rand_tok(rng);
+        }
+      }
+    }
+
+    // unfactorize + cosine-scheduled masking (reference: hma/data.py:68-83)
+    bool any_masked = false;
+    while (true) {
+      for (int b = 0; b < B; ++b) {
+        for (int t = 0; t < T; ++t) {
+          int32_t* dst = out->input_ids.data() + ((size_t)b * T + t) * S;
+          const int32_t* fac = factored.data() + (((size_t)b * T + t) * S) * nv;
+          double mask_prob = (t >= first_masked_frame && cfg_.apply_mask)
+                                 ? std::cos(uni(rng) * kPi / 2) : -1.0;
+          for (int s = 0; s < S; ++s) {
+            int32_t id = 0, mult = 1;
+            for (int k = 0; k < nv; ++k) { id += fac[s * nv + k] * mult; mult *= fv; }
+            if (mask_prob >= 0 && uni(rng) < mask_prob) {
+              id = cfg_.mask_token_id;
+              any_masked = true;
+            }
+            dst[s] = id;
+          }
+        }
+      }
+      if (any_masked || !cfg_.apply_mask) break;  // retry-if-nothing-masked
+    }
+  }
+
+  void worker(int idx) {
+    std::mt19937_64 rng(cfg_.seed * 1000003u + idx);
+    while (!stop_.load()) {
+      Batch b;
+      collate(rng, &b);
+      std::unique_lock<std::mutex> lk(mu_);
+      cv_push_.wait(lk, [this] {
+        return (int)queue_.size() < cfg_.queue_depth || stop_.load();
+      });
+      if (stop_.load()) return;
+      queue_.push_back(std::move(b));
+      lk.unlock();
+      cv_pop_.notify_one();
+    }
+  }
+
+  LoaderConfig cfg_;
+  Mmap video_, segs_, acts_;
+  bool ok_ = false, has_segs_ = false, has_actions_ = false;
+  std::vector<int64_t> valid_starts_;
+  std::vector<std::thread> workers_;
+  std::deque<Batch> queue_;
+  std::mutex mu_;
+  std::condition_variable cv_pop_, cv_push_;
+  std::atomic<bool> stop_{true};
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hma_loader_create(const char* video_path, const char* seg_path,
+                        const char* actions_path, int64_t num_images, int h,
+                        int w, int window_size, int stride, int batch_size,
+                        int action_dim, int action_width, int mask_token_id,
+                        int factored_vocab_size, int num_factored_vocabs,
+                        double max_corrupt_rate, double non_mlm_ratio,
+                        int num_prompt_frames, double mask_ratio_min,
+                        int apply_corruption, int apply_mask, uint64_t seed,
+                        int num_threads, int queue_depth) {
+  LoaderConfig cfg{num_images, h, w, window_size, stride, batch_size,
+                   action_dim, action_width, mask_token_id,
+                   factored_vocab_size, num_factored_vocabs, max_corrupt_rate,
+                   non_mlm_ratio, num_prompt_frames, mask_ratio_min,
+                   apply_corruption, apply_mask, seed, num_threads,
+                   queue_depth};
+  auto* loader = new Loader(cfg, video_path, seg_path, actions_path);
+  if (!loader->ok()) { delete loader; return nullptr; }
+  return loader;
+}
+
+int64_t hma_loader_num_windows(void* handle) {
+  return ((Loader*)handle)->num_windows();
+}
+
+int hma_loader_next(void* handle, int32_t* input_ids, int32_t* labels,
+                    float* actions) {
+  return ((Loader*)handle)->next(input_ids, labels, actions) ? 1 : 0;
+}
+
+void hma_loader_destroy(void* handle) { delete (Loader*)handle; }
+
+}  // extern "C"

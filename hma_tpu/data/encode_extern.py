@@ -1,0 +1,75 @@
+"""Encode non-RLDS sources (ego video, robomimic sim) via python generators.
+
+Rebuild of datasets/encode_extern_dataset.py: a registry maps dataset
+names to (generator_factory, approx_size); the shared `encode_episodes`
+writer handles batching, tolerance, and `error.json` markers for empty
+shards (reference: encode_extern_dataset.py:40-44, 159-164).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Callable
+
+from hma_tpu.data.encode_openx import encode_episodes, get_shard_inds, make_magvit_encoder
+
+
+def _ego4d(shard_ind: int, num_shards: int):
+    from hma_tpu.data.extern.ego4d import ego4d_episode_generator
+
+    return ego4d_episode_generator(shard_ind, num_shards)
+
+
+def _egoexo4d(shard_ind: int, num_shards: int):
+    from hma_tpu.data.extern.egoexo4d import egoexo4d_episode_generator
+
+    return egoexo4d_episode_generator(shard_ind, num_shards)
+
+
+def _robomimic(shard_ind: int, num_shards: int):
+    from hma_tpu.data.extern.robomimic import robomimic_episode_generator
+
+    return robomimic_episode_generator(shard_ind, num_shards)
+
+
+DATASET_TO_GEN_AND_SIZE: dict[str, tuple[Callable, int]] = {
+    "ego4d": (_ego4d, 1000),
+    "exoego4d": (_egoexo4d, 1000),
+    "robomimic": (_robomimic, 200),
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Encode an extern dataset shard")
+    p.add_argument("--dataset_name", type=str, required=True,
+                   choices=sorted(DATASET_TO_GEN_AND_SIZE))
+    p.add_argument("--data_split", type=str, default="train")
+    p.add_argument("--shard_ind", type=int, default=0)
+    p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--encoder_type", type=str, default="magvit",
+                   choices=["magvit", "raw"])
+    p.add_argument("--encoder_name_or_path", type=str, default="data/magvit2.ckpt")
+    p.add_argument("--out_root", type=str, default="data")
+    p.add_argument("--batch_size", type=int, default=64)
+    args = p.parse_args(argv)
+
+    gen_factory, _ = DATASET_TO_GEN_AND_SIZE[args.dataset_name]
+    encode_batch = None
+    suffix = "raw"
+    if args.encoder_type == "magvit":
+        from hma_tpu.tokenizer.convert import load_magvit2_checkpoint
+
+        encode_batch = make_magvit_encoder(
+            load_magvit2_checkpoint(args.encoder_name_or_path), args.batch_size)
+        suffix = "magvit"
+
+    out_dir = (f"{args.out_root}/{args.dataset_name}_{suffix}"
+               f"_shard{args.shard_ind}_of_{args.num_shards}_{args.data_split}")
+    meta = encode_episodes(gen_factory(args.shard_ind, args.num_shards),
+                           out_dir, args.dataset_name, encode_batch=encode_batch)
+    print(json.dumps(meta))
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,7 @@ class TrainArgs:
     fsdp: int = 1
     tp: int = 1
     log_every: int = 10
+    use_native_loader: bool = False  # C++ prefetching loader (discrete only)
 
 
 def build_domain_datasets(args: TrainArgs, config):
@@ -248,6 +249,16 @@ def run_training(args: TrainArgs) -> dict:
 
     rng_np = np.random.default_rng(args.seed)
     assembler = BatchAssembler(train_sets, domains, config, args, rng_np, discrete)
+    native_loaders = None
+    if args.use_native_loader and discrete and not args.overfit_first_batch:
+        from hma_tpu.data.native_loader import NativeTokenLoader
+
+        fmt = "{root}/{domain}_magvit_max1000000_train"
+        native_loaders = [
+            NativeTokenLoader(fmt.format(root=args.data_root, domain=d),
+                              config, batch_size=B, seed=args.seed + i,
+                              action_width=config.max_d_action)
+            for i, d in enumerate(domains)]
     val_assembler = BatchAssembler(val_sets, domains, config, args,
                                    np.random.default_rng(0), discrete)
 
@@ -357,10 +368,17 @@ def run_training(args: TrainArgs) -> dict:
 
     while step_i < max_steps:
         sampler.set_epoch(epoch)
+        dist = sampler.generate_tasks_distribution()
+        task_rng = np.random.default_rng(args.seed + epoch)
         for indices in sampler:
             if step_i >= max_steps:
                 break
-            batch = assembler(indices)
+            if native_loaders is not None:
+                ds_idx = int(task_rng.choice(len(native_loaders), p=dist))
+                batch = native_loaders[ds_idx].next_batch()
+                batch["domain_id"] = np.asarray(ds_idx, np.int32)
+            else:
+                batch = assembler(indices)
             dev = {k: jnp.asarray(v) for k, v in batch.items()}
             if put is not None:
                 dev = {k: jax.device_put(v, put(v)) if getattr(v, "ndim", 0) >= 1

@@ -1,0 +1,102 @@
+"""C++ native loader: build, structural invariants, throughput sanity."""
+
+import shutil
+import time
+
+import numpy as np
+import pytest
+
+from hma_tpu.config import GenieConfig
+from hma_tpu.data.datasets import write_token_dataset
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ compiler")
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("native") / "ds"
+    rng = np.random.default_rng(0)
+    N, h, w = 200, 4, 4
+    video = rng.integers(0, 2**18, size=(N, h, w)).astype(np.uint32)
+    segs = np.repeat(np.arange(N // 20), 20).astype(np.int32)
+    actions = rng.normal(size=(N, 3)).astype(np.float32)
+    write_token_dataset(d, video, segs, actions, {"name": "language_table"})
+    return d, video, segs, actions
+
+
+def make_config(**kw):
+    d = dict(num_layers=1, num_heads=1, d_model=8, T=4, S=16,
+             image_vocab_size=2**18, num_factored_vocabs=2,
+             num_prompt_frames=2, use_actions=True)
+    d.update(kw)
+    return GenieConfig(**d)
+
+
+def test_native_loader_batches(dataset_dir):
+    from hma_tpu.data.native_loader import NativeTokenLoader
+
+    d, video, segs, actions = dataset_dir
+    cfg = make_config()
+    loader = NativeTokenLoader(str(d), cfg, batch_size=8, stride=1, seed=1)
+    assert loader.num_windows() > 0
+
+    batch = loader.next_batch()
+    assert batch["input_ids"].shape == (8, 4, 16)
+    assert batch["labels"].shape == (8, 4, 16)
+    assert batch["action_ids"].shape == (8, 4, 3)
+
+    mask_id = cfg.image_vocab_size
+    inp, lab = batch["input_ids"], batch["labels"]
+    # labels are valid uncorrupted ids
+    assert lab.max() < mask_id and lab.min() >= 0
+    # frame 0 never masked; some masking occurred
+    assert (inp[:, 0] != mask_id).all()
+    assert (inp == mask_id).any()
+    # unmasked-and-uncorrupted positions agree with labels for most tokens
+    agree = ((inp == lab) | (inp == mask_id)).mean()
+    assert agree > 0.6
+
+    # every label window exists in the source video (check one row)
+    found = False
+    frame0 = lab[0, 0].reshape(4, 4).astype(np.uint32)
+    for n in range(len(video)):
+        if np.array_equal(video[n], frame0):
+            found = True
+            break
+    assert found
+    loader.close()
+
+
+def test_native_loader_mask_statistics(dataset_dir):
+    """Masked fraction over frames 1.. approximates E[cos(u*pi/2)] = 2/pi
+    when only the MLM branch runs."""
+    from hma_tpu.data.native_loader import NativeTokenLoader
+
+    d, *_ = dataset_dir
+    cfg = make_config(non_mlm_ratio=0.0, dataloader_apply_corruption=False)
+    loader = NativeTokenLoader(str(d), cfg, batch_size=8, stride=1, seed=2)
+    fracs = []
+    for _ in range(50):
+        b = loader.next_batch()
+        fracs.append((b["input_ids"][:, 1:] == cfg.image_vocab_size).mean())
+    assert abs(np.mean(fracs) - 2 / np.pi) < 0.06
+    loader.close()
+
+
+def test_native_loader_throughput(dataset_dir):
+    from hma_tpu.data.native_loader import NativeTokenLoader
+
+    d, *_ = dataset_dir
+    cfg = make_config()
+    loader = NativeTokenLoader(str(d), cfg, batch_size=32, stride=1,
+                               num_threads=4, seed=3)
+    loader.next_batch()
+    t0 = time.perf_counter()
+    n = 100
+    for _ in range(n):
+        loader.next_batch()
+    dt = time.perf_counter() - t0
+    bps = n / dt
+    assert bps > 50, f"native loader too slow: {bps:.1f} batches/s"
+    loader.close()
