@@ -37,13 +37,15 @@ class VQConfig:
     num_res_blocks: int = 2
 
     # loss knobs (used by the GAN training harness)
+    disc_conditional: bool = False
+    disc_in_channels: int = 3
     disc_start: int = 0
     disc_loss: str = "hinge"
     disc_ndf: int = 64
     disc_num_layers: int = 3
     disc_factor: float = 1.0
     disc_weight: float = 0.8
-    gen_loss_weight: float = 0.1
+    gen_loss_weight: Optional[float] = 0.1
     lecam_loss_weight: float = 0.005
     codebook_weight: float = 0.1
     commit_weight: float = 0.25
@@ -55,6 +57,8 @@ class VQConfig:
     sample_minimization_weight: float = 1.0
     batch_maximization_weight: float = 1.0
     token_factorization: bool = False
+    codebook_enlarge_ratio: float = 0.0
+    codebook_enlarge_steps: int = 2000
 
     def save_pretrained(self, json_path):
         d = dataclasses.asdict(self)
