@@ -73,3 +73,48 @@ class MultiTaskBatchSampler:
             batch = pool[cur:cur + self.batch_size]
             cursors[task] = cur + self.batch_size
             yield batch + self.offsets[task]
+
+
+class CombinedBatchSampler:
+    """Sequential per-dataset batches for validation (reference:
+    CombinedBatchSampler/CombinedDataLoader, external/data_sampler.py:20-84):
+    iterates every dataset fully, one dataset at a time, fixed order."""
+
+    def __init__(self, dataset_sizes: Sequence[int], batch_size: int,
+                 drop_last: bool = True):
+        self.dataset_sizes = list(dataset_sizes)
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.offsets = np.cumsum([0] + self.dataset_sizes[:-1])
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        for off, size in zip(self.offsets, self.dataset_sizes):
+            n_full = size // self.batch_size
+            for b in range(n_full):
+                yield off + np.arange(b * self.batch_size, (b + 1) * self.batch_size)
+            rem = size - n_full * self.batch_size
+            if rem and not self.drop_last:
+                yield off + np.arange(n_full * self.batch_size, size)
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return sum(s // self.batch_size for s in self.dataset_sizes)
+        return sum(-(-s // self.batch_size) for s in self.dataset_sizes)
+
+
+def make_dataset_pie_plot(domains: Sequence[str], weights) -> "object":
+    """Dataset-mixture pie chart (reference: data_sampler.py:315-334).
+    Returns a matplotlib Figure, or None headless."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    fig, ax = plt.subplots(figsize=(8, 8))
+    w = np.asarray(weights, np.float64)
+    ax.pie(w / w.sum(), labels=list(domains), autopct="%1.1f%%",
+           textprops={"fontsize": 7})
+    ax.set_title("dataset mixture")
+    return fig

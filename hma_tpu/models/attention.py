@@ -102,7 +102,7 @@ class SelfAttention(nn.Module):
 
     def decode_step(self, x_t: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                     t: jax.Array):
-        """Causal attention for one timestep with an explicit KV cache.
+        """Causal attention for one timestep against a read-only KV cache.
 
         Args:
             x_t: (B, 1, C) current-timestep activations.
@@ -111,16 +111,21 @@ class SelfAttention(nn.Module):
             t: scalar int32 current timestep.
 
         Returns:
-            (out, k_cache, v_cache) with the caches updated at index t.
+            (out, k_t, v_t): the attention output and this timestep's K/V
+            slices (B, 1, H, D). The caller decides whether to write them
+            into the cache — keeping the cache read-only here lets MaskGIT
+            refinement steps run without forcing whole-cache copies.
         """
         B = x_t.shape[0]
         q, k, v = self._qkv(x_t)
-        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k, t, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v, t, axis=1)
         t_max = k_cache.shape[1]
-        valid = jax.lax.broadcasted_iota(jnp.int32, (B, t_max), 1) <= t
-        out = _attend(q, k_cache, v_cache, causal=False, kv_mask=valid, dtype=self.dtype)
-        return self.proj(out.reshape(B, 1, self.d_model)), k_cache, v_cache
+        k_all = jnp.concatenate([k_cache, k], axis=1)
+        v_all = jnp.concatenate([v_cache, v], axis=1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (B, t_max + 1), 1)
+        valid = (iota < t) | (iota == t_max)
+        out = _attend(q, k_all, v_all, causal=False, kv_mask=valid,
+                      dtype=self.dtype)
+        return self.proj(out.reshape(B, 1, self.d_model)), k, v
 
 
 class CrossAttention(nn.Module):

@@ -248,7 +248,8 @@ class STMAR(nn.Module):
                       k_cache: jax.Array, v_cache: jax.Array,
                       action_ids: Optional[jax.Array] = None,
                       domain_id: Optional[jax.Array] = None,
-                      skip_normalization: bool = False):
+                      skip_normalization: bool = False,
+                      update_cache: bool = True):
         """Single-frame conditioning latents against the temporal KV cache.
 
         patches_S: (B, S_p, patch_dim) patchified latents of frame t.
@@ -277,7 +278,7 @@ class STMAR(nn.Module):
             (x_SC + pos_t.astype(self.dtype)).astype(jnp.float32)).astype(self.dtype)
 
         x_SC, k_cache, v_cache = self.decoder.frame_step(
-            x_SC, t, k_cache, v_cache, action_emb, domain_id)
+            x_SC, t, k_cache, v_cache, action_emb, domain_id, update_cache)
 
         action_latent = None
         if cfg.jointly_predict_actions:

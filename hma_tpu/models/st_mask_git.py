@@ -281,7 +281,8 @@ class STMaskGIT(nn.Module):
                      k_cache: jax.Array, v_cache: jax.Array,
                      action_ids: Optional[jax.Array] = None,
                      domain_id: Optional[jax.Array] = None,
-                     skip_normalization: bool = False):
+                     skip_normalization: bool = False,
+                     update_cache: bool = True):
         """Forward for a single frame t against the temporal KV cache.
 
         tokens_S: (B, S) int32 token ids of frame t.
@@ -313,7 +314,7 @@ class STMaskGIT(nn.Module):
         x_SC = x_SC + pos_t.astype(self.dtype)
 
         x_SC, k_cache, v_cache = self.decoder.frame_step(
-            x_SC, t, k_cache, v_cache, action_emb, domain_id)
+            x_SC, t, k_cache, v_cache, action_emb, domain_id, update_cache)
 
         x_states = x_SC[:, :S]
         logits = self.out_x_proj(x_states * self.readout_scale).astype(jnp.float32)

@@ -142,8 +142,9 @@ class STBlock(nn.Module):
                    domain_id: Optional[jax.Array] = None):
         """Single-frame decode. x_SC: (B, S, C) activations of frame t.
 
-        k_cache/v_cache: (B*S, T_max, H, D) temporal KV for this block.
-        Returns (x_SC_out, k_cache, v_cache) with caches updated at t.
+        k_cache/v_cache: (B*S, T_max, H, D) temporal KV for this block
+        (read-only). Returns (x_SC_out, k_t, v_t) with this frame's KV
+        slices for the caller to write (or discard).
         """
         B, S, C = x_SC.shape
         x_SC = x_SC + self.spatial_attn(self._pre1(x_SC))
@@ -163,11 +164,11 @@ class STBlock(nn.Module):
         # No pre-norm on the temporal branch, matching the full path above
         # (reference applies norm only before spatial attn and the MLP).
         x_TC = x_SC.reshape(B * S, 1, C)
-        attn_out, k_cache, v_cache = self.temporal_attn.decode_step(
+        attn_out, k_t, v_t = self.temporal_attn.decode_step(
             x_TC, k_cache, v_cache, t)
         x_TC = x_TC + attn_out
         x_TC = x_TC + self.mlp(self._pre2(x_TC), deterministic=True)
-        return x_TC.reshape(B, S, C), k_cache, v_cache
+        return x_TC.reshape(B, S, C), k_t, v_t
 
 
 class STTransformerDecoder(nn.Module):
@@ -215,12 +216,22 @@ class STTransformerDecoder(nn.Module):
     def frame_step(self, x_SC: jax.Array, t: jax.Array,
                    k_cache: jax.Array, v_cache: jax.Array,
                    action_emb: Optional[jax.Array] = None,
-                   domain_id: Optional[jax.Array] = None):
-        """x_SC: (B, S, C); k/v_cache: (L, B*S, T_max, H, D)."""
-        new_k, new_v = [], []
+                   domain_id: Optional[jax.Array] = None,
+                   update_cache: bool = True):
+        """x_SC: (B, S, C); k/v_cache: (L, B*S, T_max, H, D).
+
+        With update_cache, each layer's frame-t KV slice is written with an
+        in-place dynamic-update-slice on the big cache buffer (XLA aliases
+        the chain — no full-cache stack/copy); otherwise the caches pass
+        through untouched.
+        """
+        t = jnp.asarray(t, jnp.int32)
         for i, layer in enumerate(self.layers):
-            x_SC, k_i, v_i = layer.frame_step(x_SC, t, k_cache[i], v_cache[i],
+            x_SC, k_t, v_t = layer.frame_step(x_SC, t, k_cache[i], v_cache[i],
                                               action_emb, domain_id)
-            new_k.append(k_i)
-            new_v.append(v_i)
-        return x_SC, jnp.stack(new_k), jnp.stack(new_v)
+            if update_cache:
+                idx = (jnp.asarray(i, jnp.int32), jnp.asarray(0, jnp.int32), t,
+                       jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+                k_cache = jax.lax.dynamic_update_slice(k_cache, k_t[None], idx)
+                v_cache = jax.lax.dynamic_update_slice(v_cache, v_t[None], idx)
+        return x_SC, k_cache, v_cache

@@ -91,7 +91,7 @@ def generate_frame_mar(model: STMAR, params, t, k_cache, v_cache,
         key, k_s = jax.random.split(key)
         z, action_latent, _, _ = model.apply(
             params, frame, t, k_cache, v_cache, action_ids, domain_id,
-            method=STMAR.frame_latents)
+            update_cache=False, method=STMAR.frame_latents)
         idx = jnp.clip(start + jnp.arange(maxc), 0, S - 1)
         pos = jnp.take_along_axis(order, idx[None, :].repeat(B, 0), axis=1)  # (B, maxc)
         z_rows = jnp.take_along_axis(z, pos[..., None], axis=1).reshape(B * maxc, -1)

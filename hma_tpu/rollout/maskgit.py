@@ -87,6 +87,7 @@ def _maskgit_refine(model: STMaskGIT, params, tokens_t, t, k_cache, v_cache,
         n, step_idx, key = xs
         logits, _, _ = model.apply(params, tokens_t, t, k_cache, v_cache,
                                    action_ids, domain_id,
+                                   update_cache=False,
                                    method=STMaskGIT.frame_logits)
         orig_logits = jnp.where(step_idx == 0, logits, orig_logits)
         k_samp, k_conf = jax.random.split(key)

@@ -70,16 +70,41 @@ def weight_decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def mup_matrix_mask(params) -> Any:
+    """True for matrix-like params (both dims grow with width) whose Adam
+    LR scales by 1/width_mult under muP (mup.MuAdamW semantics; the
+    reference pins base width 256, st_mask_git.py:755-760)."""
+
+    def decide(path, leaf):
+        names = [str(getattr(k, "key", k)) for k in path]
+        if leaf.ndim < 2 or names[-1] == "bias":
+            return False
+        if "embed" in ".".join(names) and "token_embed" in ".".join(names):
+            return False  # input embeddings are vector-like under muP
+        return True
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
 def make_optimizer(learning_rate, weight_decay: float = 0.01,
                    beta1: float = 0.9, beta2: float = 0.999,
                    eps: float = 1e-8, max_grad_norm: float = 1.0,
-                   params_template=None) -> optax.GradientTransformation:
+                   params_template=None,
+                   mup_width_mult: Optional[float] = None) -> optax.GradientTransformation:
+    """AdamW with decay masking; with `mup_width_mult` (= d_model /
+    base_d_model), matrix-like parameter updates are scaled by
+    1/width_mult — the MuAdamW rule that makes LR transfer across widths."""
     mask = weight_decay_mask(params_template) if params_template is not None else None
-    return optax.chain(
+    chain = [
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
                     weight_decay=weight_decay, mask=mask),
-    )
+    ]
+    if (mup_width_mult is not None and mup_width_mult != 1.0
+            and params_template is not None):
+        mmask = mup_matrix_mask(params_template)
+        chain.append(optax.masked(optax.scale(1.0 / mup_width_mult), mmask))
+    return optax.chain(*chain)
 
 
 def make_train_step(model, tx: optax.GradientTransformation,

@@ -273,9 +273,10 @@ def run_training(args: TrainArgs) -> dict:
                         dev_batch0.get("action_ids"), dev_batch0["domain_id"],
                         *([dev_batch0["masked_tokens_indicator"]] if not discrete else []))
 
+    mup_mult = (config.d_model / 256.0) if args.mu_transfer else None
     tx = make_optimizer(schedule, args.weight_decay, args.adam_beta_1,
                         args.adam_beta_2, args.adam_eps, args.max_grad_norm,
-                        params_template=params)
+                        params_template=params, mup_width_mult=mup_mult)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
