@@ -33,10 +33,17 @@ def _robomimic(shard_ind: int, num_shards: int):
     return robomimic_episode_generator(shard_ind, num_shards)
 
 
+def _epic_kitchen(shard_ind: int, num_shards: int):
+    from hma_tpu.data.extern.epic_kitchen import epic_kitchen_episode_generator
+
+    return epic_kitchen_episode_generator(shard_ind, num_shards)
+
+
 DATASET_TO_GEN_AND_SIZE: dict[str, tuple[Callable, int]] = {
     "ego4d": (_ego4d, 1000),
     "exoego4d": (_egoexo4d, 1000),
     "robomimic": (_robomimic, 200),
+    "epic_kitchen": (_epic_kitchen, 700),  # unregistered in the reference
 }
 
 

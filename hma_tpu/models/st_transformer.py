@@ -142,9 +142,9 @@ class STBlock(nn.Module):
                    domain_id: Optional[jax.Array] = None):
         """Single-frame decode. x_SC: (B, S, C) activations of frame t.
 
-        k_cache/v_cache: (B*S, T_max, H, D) temporal KV for this block
-        (read-only). Returns (x_SC_out, k_t, v_t) with this frame's KV
-        slices for the caller to write (or discard).
+        k_cache/v_cache: (T_max, B*S, C) temporal KV for this block
+        (read-only). Returns (x_SC_out, k_t, v_t) with this frame's (B*S, C)
+        KV slices for the caller to write (or discard).
         """
         B, S, C = x_SC.shape
         x_SC = x_SC + self.spatial_attn(self._pre1(x_SC))
@@ -218,7 +218,8 @@ class STTransformerDecoder(nn.Module):
                    action_emb: Optional[jax.Array] = None,
                    domain_id: Optional[jax.Array] = None,
                    update_cache: bool = True):
-        """x_SC: (B, S, C); k/v_cache: (L, B*S, T_max, H, D).
+        """x_SC: (B, S, C); k/v_cache: (L, T_max, B*S, C) — model dim last,
+        lane-aligned.
 
         With update_cache, each layer's frame-t KV slice is written with an
         in-place dynamic-update-slice on the big cache buffer (XLA aliases
@@ -226,12 +227,12 @@ class STTransformerDecoder(nn.Module):
         through untouched.
         """
         t = jnp.asarray(t, jnp.int32)
+        zero = jnp.asarray(0, jnp.int32)
         for i, layer in enumerate(self.layers):
             x_SC, k_t, v_t = layer.frame_step(x_SC, t, k_cache[i], v_cache[i],
                                               action_emb, domain_id)
             if update_cache:
-                idx = (jnp.asarray(i, jnp.int32), jnp.asarray(0, jnp.int32), t,
-                       jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-                k_cache = jax.lax.dynamic_update_slice(k_cache, k_t[None], idx)
-                v_cache = jax.lax.dynamic_update_slice(v_cache, v_t[None], idx)
+                idx = (jnp.asarray(i, jnp.int32), t, zero, zero)
+                k_cache = jax.lax.dynamic_update_slice(k_cache, k_t[None, None], idx)
+                v_cache = jax.lax.dynamic_update_slice(v_cache, v_t[None, None], idx)
         return x_SC, k_cache, v_cache

@@ -48,8 +48,24 @@ def ema_decay(num_updates, base_decay: float = 0.9999):
 
 
 def warmup_schedule(base_lr: float, warmup_steps: int) -> optax.Schedule:
+    """Linear warmup then constant (reference: Scheduler_LinearWarmup,
+    external/magvit2/modules/scheduler/lr_scheduler.py:6-12)."""
+
     def sched(step):
         return base_lr * jnp.minimum(1.0, (step + 1) / max(warmup_steps, 1))
+    return sched
+
+
+def warmup_cosine_schedule(base_lr: float, warmup_steps: int, max_steps: int,
+                           multiplier_min: float = 0.1) -> optax.Schedule:
+    """Linear warmup then cosine decay to multiplier_min * base_lr
+    (reference: Scheduler_LinearWarmup_CosineDecay, lr_scheduler.py:15-23)."""
+
+    def sched(step):
+        warm = base_lr * (step + 1) / max(warmup_steps, 1)
+        prog = (step - warmup_steps) / jnp.maximum(max_steps - warmup_steps, 1)
+        cos = multiplier_min + 0.5 * (1 - multiplier_min) * (1 + jnp.cos(jnp.pi * prog))
+        return jnp.where(step < warmup_steps, warm, base_lr * cos)
     return sched
 
 

@@ -1,0 +1,42 @@
+"""Pallas kernels: interpret-mode exactness vs jnp references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hma_tpu.ops.flash_attention import fused_attention
+from hma_tpu.ops.lfq_kernel import lfq_quantize_fused
+from hma_tpu.tokenizer.lfq import lfq_quantize
+
+
+def _reference_attention(q, k, v, causal):
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32)
+    if causal:
+        n = logits.shape[-1]
+        mask = np.tril(np.ones((n, n), bool))
+        logits = jnp.where(jnp.asarray(mask), logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_attention_matches_reference(causal):
+    rng = np.random.default_rng(0)
+    B, S, H, D = 2, 64, 4, 32
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    got = fused_attention(q, k, v, causal=causal, interpret=True)
+    want = _reference_attention(q, k, v, causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_lfq_fused_matches_reference():
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.normal(size=(2048, 18)), jnp.float32)
+    ids, quant = lfq_quantize_fused(z, block=1024, interpret=True)
+    ref = lfq_quantize(z)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref.indices))
+    np.testing.assert_array_equal(np.asarray(quant), np.sign(np.asarray(z)))
