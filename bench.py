@@ -10,9 +10,12 @@ ported 1:1 to this chip. Prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+os.environ.setdefault("HMA_TPU_PALLAS_ATTN", "1")
 
 
 def main():
@@ -41,6 +44,9 @@ def main():
     params = model.init({"params": jax.random.PRNGKey(0)},
                         tokens, tokens, actions, domain_id)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    # inference in bf16: halves HBM weight traffic, fp32 kept where it
+    # matters (qk-norm, softmax, logits)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
     run = make_generator(model, num_prompt_frames=num_prompt,
                          maskgit_steps=maskgit_steps)

@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--num_prompt_frames", type=int, default=4)
     p.add_argument("--max_examples", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_fvd", action="store_true",
+                   help="FVD over accumulated decoded clips (needs a pixel decoder)")
+    p.add_argument("--compute_fid", action="store_true")
     return p.parse_args(argv)
 
 
@@ -103,6 +106,37 @@ def main(argv=None):
 
     result = {k: m.mean() for k, m in metrics.items() if m.count > 0}
     result["num_examples"] = n_done
+    # FID/FVD over decoded pixels (reference: evaluate_diffusion.py:368-375).
+    # Without an SVD-VAE pixel decoder (weights not bundled), the latent
+    # clips themselves are embedded — still a distribution distance, and
+    # the same code path once decode weights are supplied.
+    if args.compute_fvd or args.compute_fid:
+        preds, gts = [], []
+        for i in range(0, min(args.max_examples, len(dataset)), args.batch_size):
+            B2 = min(args.batch_size, min(args.max_examples, len(dataset)) - i)
+            items = [dataset[i + j] for j in range(B2)]
+            lat = jnp.asarray(np.stack([it["input_ids"] for it in items])
+                              .reshape(B2, config.T, h, w, C).astype(np.float32))
+            acts = (jnp.asarray(_pad_actions(
+                np.stack([it["action_ids"] for it in items]).astype(np.float32),
+                config.max_d_action)) if "action_ids" in items[0] else None)
+            out = np.asarray(gen_jit(params, lat, acts, domain_id,
+                                     jax.random.PRNGKey(100 + i)))
+            preds.append(out)
+            gts.append(np.asarray(lat))
+        pred = np.concatenate(preds)
+        gt = np.concatenate(gts)
+        flat_embed = lambda v: v.reshape(len(v), -1).astype(np.float32)
+        if args.compute_fid:
+            from hma_tpu.metrics.fid import fid_from_features
+
+            result["fid_latent"] = fid_from_features(
+                flat_embed(pred.reshape(-1, *pred.shape[2:])),
+                flat_embed(gt.reshape(-1, *gt.shape[2:])))
+        if args.compute_fvd and config.T >= 10:
+            from hma_tpu.metrics.fvd import calculate_fvd
+
+            result["fvd_latent"] = calculate_fvd(pred, gt, embed_fn=flat_embed)
     logger.log({f"val/{domain}_{k}": v for k, v in result.items()})
     logger.close()
     print(json.dumps(result))

@@ -240,7 +240,8 @@ class STMAR(nn.Module):
                                 if (with_actions and "concat" in cfg.action_network
                                     and cfg.num_domains > 0) or cfg.jointly_predict_actions
                                 else 0)
-        shape = (cfg.num_layers, cfg.T, batch_size * S_tot, cfg.d_model)
+        head_dim = cfg.d_model // cfg.num_heads
+        shape = (cfg.num_layers, batch_size * S_tot, cfg.T, cfg.num_heads, head_dim)
         return jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype)
 
     def frame_latents(self, patches_S: jax.Array, t: jax.Array,

@@ -267,13 +267,14 @@ class STMaskGIT(nn.Module):
     # ------------------------------------------------------------------
 
     def init_cache(self, batch_size: int, with_actions: bool = True):
-        """Zeroed temporal KV caches: (L, T, B*S_tot, d_model) each."""
+        """Zeroed temporal KV caches: (L, B*S_tot, T, H, Dh) each."""
         cfg = self.config
         S_tot = cfg.S + (cfg.action_token_size
                          if (with_actions and "concat" in cfg.action_network
                              and cfg.num_domains > 0) or cfg.jointly_predict_actions
                          else 0)
-        shape = (cfg.num_layers, cfg.T, batch_size * S_tot, cfg.d_model)
+        head_dim = cfg.d_model // cfg.num_heads
+        shape = (cfg.num_layers, batch_size * S_tot, cfg.T, cfg.num_heads, head_dim)
         return jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype)
 
     def frame_logits(self, tokens_S: jax.Array, t: jax.Array,

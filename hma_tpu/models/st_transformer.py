@@ -142,9 +142,9 @@ class STBlock(nn.Module):
                    domain_id: Optional[jax.Array] = None):
         """Single-frame decode. x_SC: (B, S, C) activations of frame t.
 
-        k_cache/v_cache: (T_max, B*S, C) temporal KV for this block
-        (read-only). Returns (x_SC_out, k_t, v_t) with this frame's (B*S, C)
-        KV slices for the caller to write (or discard).
+        k_cache/v_cache: (B*S, T_max, H, D) temporal KV for this block
+        (read-only). Returns (x_SC_out, k_t, v_t) with this frame's
+        (B*S, 1, H, D) KV slices for the caller to write (or discard).
         """
         B, S, C = x_SC.shape
         x_SC = x_SC + self.spatial_attn(self._pre1(x_SC))
@@ -218,8 +218,7 @@ class STTransformerDecoder(nn.Module):
                    action_emb: Optional[jax.Array] = None,
                    domain_id: Optional[jax.Array] = None,
                    update_cache: bool = True):
-        """x_SC: (B, S, C); k/v_cache: (L, T_max, B*S, C) — model dim last,
-        lane-aligned.
+        """x_SC: (B, S, C); k/v_cache: (L, B*S, T_max, H, D).
 
         With update_cache, each layer's frame-t KV slice is written with an
         in-place dynamic-update-slice on the big cache buffer (XLA aliases
@@ -232,7 +231,7 @@ class STTransformerDecoder(nn.Module):
             x_SC, k_t, v_t = layer.frame_step(x_SC, t, k_cache[i], v_cache[i],
                                               action_emb, domain_id)
             if update_cache:
-                idx = (jnp.asarray(i, jnp.int32), t, zero, zero)
-                k_cache = jax.lax.dynamic_update_slice(k_cache, k_t[None, None], idx)
-                v_cache = jax.lax.dynamic_update_slice(v_cache, v_t[None, None], idx)
+                idx = (jnp.asarray(i, jnp.int32), zero, t, zero, zero)
+                k_cache = jax.lax.dynamic_update_slice(k_cache, k_t[None], idx)
+                v_cache = jax.lax.dynamic_update_slice(v_cache, v_t[None], idx)
         return x_SC, k_cache, v_cache
