@@ -210,10 +210,15 @@ def write_token_dataset(out_dir, video: np.ndarray, segment_ids: np.ndarray,
         (out / "actions").mkdir(exist_ok=True)
         actions.astype(np.float32).tofile(out / "actions" / "actions.bin")
         metadata = {**metadata, "action_dim": int(actions.shape[-1])}
+    # token layout (N, h, w); image layout (N, h, w, 3); latent (N, C, h, w)
+    if video.ndim == 3 or video.shape[-1] == 3:
+        h, w = video.shape[1], video.shape[2]
+    else:  # latent (N, C, h, w)
+        h, w = video.shape[2], video.shape[3]
     meta = {
         "num_images": int(video.shape[0]),
-        "h": int(video.shape[1] if video.ndim == 3 else video.shape[2]),
-        "w": int(video.shape[2] if video.ndim == 3 else video.shape[3]),
+        "h": int(h),
+        "w": int(w),
         "token_dtype": str(video.dtype),
         **metadata,
     }

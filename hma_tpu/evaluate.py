@@ -58,7 +58,8 @@ def main(argv=None):
                               name=args.domain or "")
     domain = args.domain or dataset.name
     domain_id = jnp.asarray(
-        config.action_domains.index(domain) if config.action_domains else 0,
+        config.action_domains.index(domain)
+        if config.action_domains and domain in config.action_domains else 0,
         jnp.int32)
 
     decode = None

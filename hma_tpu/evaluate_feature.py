@@ -69,7 +69,8 @@ def main(argv=None):
                                 domain=args.domain)
     domain = args.domain or dataset.name
     domain_id = jnp.asarray(
-        config.action_domains.index(domain) if config.action_domains else 0,
+        config.action_domains.index(domain)
+        if config.action_domains and domain in config.action_domains else 0,
         jnp.int32)
 
     gen_jit = jax.jit(lambda p, lat, act, dom, key: generate_latents(

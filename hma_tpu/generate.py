@@ -66,7 +66,8 @@ def main(argv=None):
                               name=args.domain or "")
     domain = args.domain or dataset.name
     domain_id = jnp.asarray(
-        config.action_domains.index(domain) if config.action_domains else 0,
+        config.action_domains.index(domain)
+        if config.action_domains and domain in config.action_domains else 0,
         jnp.int32)
 
     B = min(args.batch_size, args.max_examples)

@@ -242,3 +242,56 @@ def teacher_forced_logits(model: STMaskGIT, params, tokens_TS, action_ids,
     keys = jax.random.split(key, T - 1)
     _, (samples, logits) = jax.lax.scan(body, (k_cache, v_cache), (ts, keys))
     return jnp.moveaxis(samples, 0, 1), jnp.moveaxis(logits, 0, 1)
+
+
+def generate_horizon(model: STMaskGIT, params, prompt_TS, out_t_min: int,
+                     out_t_max: int, action_ids, domain_id, key, *,
+                     maskgit_steps: int = 2, temperature: float = 0.0,
+                     unmask_mode: str = "random"):
+    """Jointly MaskGIT-decode frames [out_t_min, out_t_max) in one pass set.
+
+    Multi-frame analog of `generate_tokens`'s per-frame loop (reference:
+    maskgit_generate_horizon, st_mask_git.py:469-601 — whose reshape bugs
+    made it unusable; this is the working equivalent). Refinement runs
+    full-stack forwards because frames inside the horizon condition on one
+    another through the causal temporal attention as they unmask.
+
+    Returns (B, out_t_max - out_t_min, S) tokens.
+    """
+    cfg = model.config
+    B, T, S = prompt_TS.shape
+    horizon = out_t_max - out_t_min
+    HS = horizon * S
+    mask_id = model.mask_token_id
+    cur = jnp.where((jnp.arange(T) < out_t_min)[None, :, None], prompt_TS, mask_id)
+    ns = jnp.asarray(maskgit_mask_counts(maskgit_steps, HS), jnp.int32)
+
+    def step_body(carry, xs):
+        cur, unmasked = carry
+        n, key = xs
+        logits_full, _ = model.apply(params, cur, action_ids, domain_id,
+                                     method=STMaskGIT.compute_logits)
+        nv, fv = cfg.num_factored_vocabs, cfg.factored_vocab_size
+        lt = jax.lax.dynamic_slice_in_dim(logits_full, out_t_min, horizon, axis=2)
+        lt = lt.reshape(B, nv, fv, HS).transpose(0, 3, 1, 2)  # (B, HS, nv, fv)
+        k_samp, k_conf = jax.random.split(key)
+        samples, confidence = _sample_factored(lt, k_samp, temperature, fv)
+        if unmask_mode == "greedy":
+            conf = confidence
+        else:
+            conf = jax.random.uniform(k_conf, confidence.shape)
+        conf = jnp.where(unmasked, jnp.inf, conf)
+        lowest = _mask_lowest(conf, n)
+        prev_unmasked = unmasked
+        unmasked = jnp.where(n > 0, unmasked | ~lowest, jnp.ones_like(unmasked))
+        window = jax.lax.dynamic_slice_in_dim(cur, out_t_min, horizon, axis=1)
+        samples = jnp.where(lowest, mask_id, samples)
+        samples = jnp.where(prev_unmasked, window.reshape(B, HS), samples)
+        cur = jax.lax.dynamic_update_slice_in_dim(
+            cur, samples.reshape(B, horizon, S), out_t_min, axis=1)
+        return (cur, unmasked), None
+
+    unmasked0 = jnp.zeros((B, HS), bool)
+    keys = jax.random.split(key, maskgit_steps)
+    (cur, _), _ = jax.lax.scan(step_body, (cur, unmasked0), (ns, keys))
+    return jax.lax.dynamic_slice_in_dim(cur, out_t_min, horizon, axis=1)

@@ -57,3 +57,31 @@ class NLayerDiscriminator(nn.Module):
         h = nn.leaky_relu(h, 0.2)
         return nn.Conv(1, (kw, kw), strides=(1, 1), padding=pad2,
                        kernel_init=_conv_init, dtype=self.dtype, name="conv_out")(h)
+
+
+class ActNorm(nn.Module):
+    """Per-channel affine norm with data-dependent init
+    (reference: external/magvit2/modules/util.py ActNorm; used when
+    VQConfig.use_actnorm replaces BatchNorm in the discriminator).
+
+    The data-dependent init uses the first batch's statistics via a
+    mutable 'actnorm_stats' collection flag.
+    """
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        C = x.shape[-1]
+        initialized = self.variable("actnorm_stats", "initialized",
+                                    lambda: jnp.zeros((), jnp.bool_))
+        loc = self.param("loc", nn.initializers.zeros, (C,))
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        if self.is_mutable_collection("actnorm_stats") and train:
+            mean = jnp.mean(x, axis=tuple(range(x.ndim - 1)))
+            std = jnp.std(x, axis=tuple(range(x.ndim - 1))) + 1e-6
+            # data-dependent values applied on the fly for the first batch
+            loc_eff = jnp.where(initialized.value, loc, -mean)
+            scale_eff = jnp.where(initialized.value, scale, 1.0 / std)
+            initialized.value = jnp.ones((), jnp.bool_)
+        else:
+            loc_eff, scale_eff = loc, scale
+        return scale_eff * (x + loc_eff)
