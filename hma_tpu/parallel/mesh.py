@@ -6,6 +6,11 @@ torchrun launchers) with jax.sharding over a named Mesh:
   axes: dp    - pure data parallelism (params replicated)
         fsdp  - data parallelism with ZeRO-style parameter sharding
         tp    - tensor parallelism over attention heads / MLP hidden dim
+        sp    - sequence parallelism over the spatial token axis
+                (activations only; params replicated)
+
+  Pipeline and expert parallelism do not apply to this architecture (no
+  layer pipelining need at T*S <= 3840 tokens; no MoE).
 
 Gradients all-reduce over (dp, fsdp) and activations over tp are XLA
 collectives riding ICI; nothing here issues an explicit collective — we
@@ -26,25 +31,27 @@ DATA_AXES = ("dp", "fsdp")
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
-              fsdp: int = 1, tp: int = 1, devices=None) -> Mesh:
-    """Create a (dp, fsdp, tp) mesh over the available devices."""
+              fsdp: int = 1, tp: int = 1, sp: int = 1, devices=None) -> Mesh:
+    """Create a (dp, fsdp, tp, sp) mesh over the available devices."""
     devices = devices if devices is not None else jax.devices()
     n = n_devices or len(devices)
     if dp is None:
-        assert n % (fsdp * tp) == 0, (n, fsdp, tp)
-        dp = n // (fsdp * tp)
-    assert dp * fsdp * tp == n, (dp, fsdp, tp, n)
-    arr = np.asarray(devices[:n]).reshape(dp, fsdp, tp)
-    return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+        assert n % (fsdp * tp * sp) == 0, (n, fsdp, tp, sp)
+        dp = n // (fsdp * tp * sp)
+    assert dp * fsdp * tp * sp == n, (dp, fsdp, tp, sp, n)
+    arr = np.asarray(devices[:n]).reshape(dp, fsdp, tp, sp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "tp", "sp"))
 
 
-def default_mesh_factors(n: int) -> tuple[int, int, int]:
-    """Pick a sensible (dp, fsdp, tp) factorization of n devices."""
-    tp = 2 if n % 2 == 0 and n >= 4 else 1
-    rem = n // tp
+def default_mesh_factors(n: int) -> tuple[int, int, int, int]:
+    """Pick a sensible (dp, fsdp, tp, sp) factorization of n devices."""
+    sp = 2 if n % 8 == 0 and n >= 8 else 1
+    rem = n // sp
+    tp = 2 if rem % 2 == 0 and rem >= 4 else 1
+    rem //= tp
     fsdp = 2 if rem % 2 == 0 and rem >= 2 else 1
     dp = rem // fsdp
-    return dp, fsdp, tp
+    return dp, fsdp, tp, sp
 
 
 def _divisible(dim: int, mesh: Mesh, axis: str) -> bool:
@@ -101,11 +108,18 @@ def make_param_shardings(params, mesh: Mesh):
 
 
 def batch_sharding(mesh: Mesh):
-    """Shard the leading (batch) axis over all data axes."""
+    """Shard the leading (batch) axis over the data axes and — when it
+    divides evenly — the trailing token axis over 'sp'."""
+    sp = mesh.shape.get("sp", 1)
+
     def per_leaf(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
-            return NamedSharding(mesh, P(DATA_AXES, *([None] * (x.ndim - 1))))
-        return NamedSharding(mesh, P())
+        if not hasattr(x, "ndim") or x.ndim < 1:
+            return NamedSharding(mesh, P())
+        spec = [None] * x.ndim
+        spec[0] = DATA_AXES
+        if x.ndim >= 2 and sp > 1 and x.shape[-1] % sp == 0 and x.shape[-1] >= 2 * sp:
+            spec[-1] = "sp"
+        return NamedSharding(mesh, P(*spec))
     return per_leaf
 
 

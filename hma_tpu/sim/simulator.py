@@ -113,6 +113,7 @@ class GenieSimulator(LearnedSimulator):
         self.action_noise_scale = action_noise_scale
         self.key = jax.random.PRNGKey(seed)
         self._step_times: list[float] = []
+        self._psnr_history: list[float] = []
 
         H = prompt_horizon
 
@@ -199,6 +200,20 @@ class GenieSimulator(LearnedSimulator):
         out = frame_tokens
         if self.decode_tokens is not None:
             out = self.decode_tokens(frame_tokens[None])[0]
+
+        # Optional ground-truth physics comparison (reference:
+        # sim/simulator.py:309-357): step the physics sim with the same
+        # action and track PSNR between generated and true frames.
+        if self.physics is not None and self.decode_tokens is not None:
+            try:
+                from hma_tpu.metrics.image import psnr as _psnr
+
+                gt = np.asarray(self.physics.step(action))
+                if gt.shape == np.asarray(out).shape:
+                    self._psnr_history.append(float(_psnr(out, gt)))
+            except Exception:
+                pass
+
         self._step_times.append(time.perf_counter() - t0)
         return out
 
@@ -211,8 +226,11 @@ class GenieSimulator(LearnedSimulator):
         ts = np.asarray(self._step_times)
         q1, q3 = np.percentile(ts, [25, 75])
         inlier = ts[(ts >= q1) & (ts <= q3)]
-        return {
+        stats = {
             "p50_ms": float(np.median(ts) * 1000),
             "iqr_mean_ms": float(np.mean(inlier) * 1000) if len(inlier) else float("nan"),
             "n": len(ts),
         }
+        if self._psnr_history:
+            stats["psnr_vs_physics"] = float(np.mean(self._psnr_history))
+        return stats

@@ -92,6 +92,7 @@ class TrainArgs:
     dp: Optional[int] = None
     fsdp: int = 1
     tp: int = 1
+    sp: int = 1
     log_every: int = 10
     use_native_loader: bool = False  # C++ prefetching loader (discrete only)
 
@@ -221,8 +222,8 @@ def run_training(args: TrainArgs) -> dict:
     model = make_model(args, config)
 
     n_dev = len(jax.devices())
-    mesh = make_mesh(n_dev, dp=args.dp, fsdp=args.fsdp, tp=args.tp) \
-        if n_dev > 1 else None
+    mesh = make_mesh(n_dev, dp=args.dp, fsdp=args.fsdp, tp=args.tp,
+                     sp=args.sp) if n_dev > 1 else None
 
     B = args.per_device_train_batch_size * max(n_dev, 1)
     effective_batch = B * args.gradient_accumulation_steps

@@ -54,6 +54,7 @@ def parse_args(argv=None) -> TrainArgs:
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1)
     p.add_argument("--log_every", type=int, default=10)
     ns = p.parse_args(argv)
     return TrainArgs(**vars(ns))

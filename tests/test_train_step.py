@@ -97,8 +97,8 @@ def test_grad_accumulation_matches_full_batch():
 def test_sharded_train_step_8_devices():
     assert len(jax.devices()) == 8
     cfg, model, params, batch = tiny_setup(d_model=64, heads=4)
-    dp, fsdp, tp = default_mesh_factors(8)
-    mesh = make_mesh(8, dp=dp, fsdp=fsdp, tp=tp)
+    dp, fsdp, tp, sp = default_mesh_factors(8)
+    mesh = make_mesh(8, dp=dp, fsdp=fsdp, tp=tp, sp=sp)
 
     shardings = make_param_shardings(params, mesh)
     params = jax.device_put(params, shardings)
