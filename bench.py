@@ -103,6 +103,39 @@ def main():
     dt_ref = timed(reference_style, params, tokens, actions, domain_id, key, iters=5, warmup=1)
     fps_ref = B * gen_frames / dt_ref
 
+    # Training throughput at the same flagship config (fp32 master params).
+    from hma_tpu.train.step import TrainState, make_optimizer, make_train_step
+
+    params32 = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    # free the inference-side buffers before allocating optimizer state
+    del run, reference_style
+    params = None
+    inp = np.asarray(tokens).copy()
+    inp[:, 1:, : cfg.S // 2] = cfg.image_vocab_size
+    batch = {"input_ids": jnp.asarray(inp), "labels": tokens,
+             "action_ids": actions, "domain_id": domain_id}
+    tx = make_optimizer(1e-4, params_template=params32)
+    # remat: the 32-layer backward stores ~10 GB of attention logits
+    # otherwise — rematerialize blocks instead
+    train_model = STMaskGIT(cfg, remat=True)
+    train_step = jax.jit(make_train_step(train_model, tx))
+    state = TrainState(params32, tx.init(params32), jnp.asarray(0))
+    state, _ = train_step(state, batch, jax.random.PRNGKey(0))  # compile
+
+    def one_train(state):
+        s, m = train_step(state, batch, jax.random.PRNGKey(1))
+        return s
+
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(10):
+        s = one_train(s)
+    force(s.params["params"]["pos_embed_TSC"])
+    dt_train = (time.perf_counter() - t0) / 10
+    tokens_per_step = B * cfg.T * cfg.S
+    train_tokens_per_sec = tokens_per_step / dt_train
+    train_tflops = 6 * n_params * tokens_per_step / dt_train / 1e12
+
     print(json.dumps({
         "metric": "rollout_frames_per_sec_chip_362M_discrete",
         "value": round(fps, 2),
@@ -116,6 +149,8 @@ def main():
             "kv_cached_s_per_window": round(dt, 4),
             "reference_algo_fps_same_chip": round(fps_ref, 2),
             "per_frame_latency_ms_b1_equiv": round(dt / gen_frames / B * 1000, 2),
+            "train_tokens_per_sec": round(train_tokens_per_sec),
+            "train_model_tflops_per_sec": round(train_tflops, 1),
             "device": str(jax.devices()[0]),
         },
     }))

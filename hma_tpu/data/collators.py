@@ -15,8 +15,6 @@ global state).
 
 from __future__ import annotations
 
-import math
-from typing import Optional
 
 import numpy as np
 

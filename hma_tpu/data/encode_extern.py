@@ -12,7 +12,7 @@ import argparse
 import json
 from typing import Callable
 
-from hma_tpu.data.encode_openx import encode_episodes, get_shard_inds, make_magvit_encoder
+from hma_tpu.data.encode_openx import encode_episodes, make_magvit_encoder
 
 
 def _ego4d(shard_ind: int, num_shards: int):

@@ -15,7 +15,7 @@ diffusion = 1000-step cosine, gen diffusion = respaced "100"
 from __future__ import annotations
 
 import math
-from typing import Callable, NamedTuple, Optional, Sequence
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ from hma_tpu.data.datasets import RawTokenDataset
 from hma_tpu.generate import load_model
 from hma_tpu.metrics.image import batch_psnr, batch_ssim
 from hma_tpu.metrics.token import AvgMetric, teacher_forced_metrics
-from hma_tpu.rollout.maskgit import make_generator, teacher_forced_logits
+from hma_tpu.rollout.maskgit import teacher_forced_logits
 from hma_tpu.train.trainer import _pad_actions
 from hma_tpu.utils.logging import MetricLogger
 

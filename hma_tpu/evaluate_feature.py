@@ -22,7 +22,7 @@ import numpy as np
 from hma_tpu.config import DiffusionGenieConfig
 from hma_tpu.data.datasets import RawFeatureDataset
 from hma_tpu.metrics.token import AvgMetric
-from hma_tpu.models.st_mar import STMAR, patchify
+from hma_tpu.models.st_mar import STMAR
 from hma_tpu.rollout.mar import generate_latents
 from hma_tpu.train.trainer import _pad_actions
 from hma_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, load_config_json

@@ -14,7 +14,7 @@ structure and the d(x, x) == 0 identity.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

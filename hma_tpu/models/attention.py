@@ -21,7 +21,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)

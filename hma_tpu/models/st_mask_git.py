@@ -19,7 +19,7 @@ cache — which is what makes TPU rollout O(1) frames per MaskGIT step.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,7 @@ class STMaskGIT(nn.Module):
 
     config: GenieConfig
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False  # checkpoint each STBlock (training memory)
 
     @property
     def mask_token_id(self) -> int:
@@ -61,7 +62,7 @@ class STMaskGIT(nn.Module):
             use_mup=cfg.use_mup, attn_drop=cfg.attn_drop, mlp_ratio=cfg.mlp_ratio,
             mlp_bias=cfg.mlp_bias, mlp_drop=cfg.mlp_drop,
             action_processing=cfg.action_network, num_domains=cfg.num_domains,
-            dtype=self.dtype, name="decoder")
+            dtype=self.dtype, remat=self.remat, name="decoder")
         self.pos_embed_TSC = self.param(
             "pos_embed_TSC", nn.initializers.zeros,
             (1, cfg.T, cfg.S + cfg.action_token_size, cfg.d_model), jnp.float32)

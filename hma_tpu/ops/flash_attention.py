@@ -43,10 +43,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, causal: bool):
                           ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "interpret"))
-def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
-                    causal: bool = False, interpret: bool = False) -> jax.Array:
-    """q, k, v: (B, S, H, D) with q pre-scaled. Returns (B, S, H, D)."""
+def _pallas_attention(q, k, v, causal: bool, interpret: bool):
     B, S, H, D = q.shape
 
     def reorder(x):  # (B, S, H, D) -> (B, H, S, D)
@@ -67,3 +64,45 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             transcendentals=B * H * S * S),
     )(reorder(q), reorder(k), reorder(v))
     return out.transpose(0, 2, 1, 3)
+
+
+def _jnp_attention(q, k, v, causal: bool):
+    """jnp reference (also the backward path for the custom VJP)."""
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32)
+    if causal:
+        S = logits.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        logits = jnp.where(col > row, NEG_INF, logits)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_attention(q, k, v, causal, interpret):
+    return _pallas_attention(q, k, v, causal, interpret)
+
+
+def _fused_fwd(q, k, v, causal, interpret):
+    return _pallas_attention(q, k, v, causal, interpret), (q, k, v)
+
+
+def _fused_bwd(causal, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _jnp_attention(a, b, c, causal), q, k, v)
+    return vjp(g)
+
+
+_fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "interpret"))
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    causal: bool = False, interpret: bool = False) -> jax.Array:
+    """q, k, v: (B, S, H, D) with q pre-scaled. Returns (B, S, H, D).
+
+    Forward runs the Pallas kernel; the backward pass differentiates the
+    jnp reference (XLA), so the op is usable inside training steps.
+    """
+    return _fused_attention(q, k, v, causal, interpret)

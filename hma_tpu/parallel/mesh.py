@@ -20,7 +20,6 @@ recipe). The reference only ever had DP; tp/fsdp are strict extensions.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -22,7 +22,6 @@ the n least-confident tokens masked per the cosine schedule, with
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ here policies are plain callables.
 
 from __future__ import annotations
 
-import argparse
-import time
 from pathlib import Path
 from typing import Callable, Optional
 

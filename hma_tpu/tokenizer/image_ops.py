@@ -8,8 +8,6 @@ host CPU or TPU. The 256² target with a 1024 cap matches
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

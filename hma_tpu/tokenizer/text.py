@@ -7,8 +7,6 @@ transformers + torch(cpu); embeddings are mean-pooled encoder states.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 _t5 = None

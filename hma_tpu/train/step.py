@@ -19,7 +19,6 @@ on TPU is expressed by scanning microbatches inside the step.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax

@@ -15,11 +15,9 @@ checkpointing. Differences are all TPU-architectural:
 from __future__ import annotations
 
 import dataclasses
-import json
 import math
-import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
 
@@ -94,6 +92,7 @@ class TrainArgs:
     tp: int = 1
     sp: int = 1
     log_every: int = 10
+    grad_checkpointing: bool = True  # remat STBlocks in the train step
     use_native_loader: bool = False  # C++ prefetching loader (discrete only)
 
 
@@ -204,8 +203,8 @@ class BatchAssembler:
 
 def make_model(args: TrainArgs, config):
     if args.model_type == "discrete":
-        return STMaskGIT(config)
-    return STMAR(config)
+        return STMaskGIT(config, remat=args.grad_checkpointing)
+    return STMAR(config, remat=args.grad_checkpointing)
 
 
 def run_training(args: TrainArgs) -> dict:

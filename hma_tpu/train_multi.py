@@ -8,7 +8,6 @@ trainer in hma_tpu/train/trainer.py.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 from hma_tpu.train.trainer import TrainArgs, run_training
 

@@ -11,15 +11,11 @@ old checkpoints from inside the *evaluator* with rm -rf
 
 from __future__ import annotations
 
-import json
-import os
 import re
 import shutil
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

@@ -1,0 +1,155 @@
+"""Import reference (torch) HMA checkpoints into hma_tpu params.
+
+Maps the reference STMaskGIT state dict (hma/model/st_mask_git.py, saved
+via HF save_pretrained as pytorch_model.bin / model.safetensors) onto the
+Flax STMaskGIT parameter tree, including the string-keyed per-domain
+ModuleDicts -> stacked domain tables translation. muP checkpoints fold
+their readout multipliers at import (the Flax model applies
+readout_scale as a constant; see st_mask_git.py readout_scale).
+
+Layout conversions: torch Linear weight (out, in) -> kernel (in, out);
+Embedding stays (vocab, d). Per-domain modules stack in
+`config.action_domains` order; action widths zero-pad to max_d_action.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _lin(sd, name):
+    """torch Linear -> {kernel, bias?}."""
+    out = {"kernel": np.asarray(sd[f"{name}.weight"]).T.astype(np.float32)}
+    if f"{name}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{name}.bias"]).astype(np.float32)
+    return out
+
+
+def _ln(sd, name):
+    return {"scale": np.asarray(sd[f"{name}.weight"]).astype(np.float32),
+            "bias": np.asarray(sd[f"{name}.bias"]).astype(np.float32)}
+
+
+def _stack_domain_linears(sd, fmt, domains, in_pad=None, out_pad=None):
+    """Stack per-domain torch Linears into (D, in, out) + (D, out) tables."""
+    kernels, biases = [], []
+    for d in domains:
+        w = np.asarray(sd[fmt.format(d) + ".weight"]).T.astype(np.float32)
+        if in_pad and w.shape[0] < in_pad:
+            w = np.pad(w, ((0, in_pad - w.shape[0]), (0, 0)))
+        if out_pad and w.shape[1] < out_pad:
+            w = np.pad(w, ((0, 0), (0, out_pad - w.shape[1])))
+        kernels.append(w)
+        bname = fmt.format(d) + ".bias"
+        if bname in sd:
+            b = np.asarray(sd[bname]).astype(np.float32)
+            if out_pad and b.shape[0] < out_pad:
+                b = np.pad(b, (0, out_pad - b.shape[0]))
+            biases.append(b)
+    out = {"kernel": np.stack(kernels)}
+    if biases:
+        out["bias"] = np.stack(biases)
+    return out
+
+
+def import_stmaskgit_state_dict(sd: Dict[str, np.ndarray], config) -> dict:
+    """Reference STMaskGIT state dict -> {'params': ...} for hma_tpu.
+
+    `config` must already carry the dataset-derived fields
+    (action_domains/d_actions/action_stats) the checkpoint was trained
+    with — the reference stores them in its config.json.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    domains = config.action_domains or []
+    P: dict = {}
+
+    # embeddings and globals
+    te = {}
+    for i in range(config.num_factored_vocabs):
+        te[f"factored_embeds_{i}"] = {
+            "embedding": sd[f"token_embed.factored_embeds.{i}.weight"].astype(np.float32)}
+    te["mask_token_embed"] = sd["token_embed.mask_token_embed"].astype(np.float32)
+    P["token_embed"] = te
+    P["pos_embed_TSC"] = sd["pos_embed_TSC"].astype(np.float32)
+    P["action_mask_tokens"] = sd["action_mask_tokens"].astype(np.float32)
+    P["out_x_proj"] = _lin(sd, "out_x_proj")
+
+    # trunk
+    dec = {}
+    for i in range(config.num_layers):
+        pref = f"decoder.layers.{i}"
+        layer = {}
+        for attn in ("spatial_attn", "temporal_attn"):
+            a = {"qkv": _lin(sd, f"{pref}.{attn}.qkv"),
+                 "proj": _lin(sd, f"{pref}.{attn}.proj")}
+            if f"{pref}.{attn}.norm.weight" in sd:
+                a["norm"] = _ln(sd, f"{pref}.{attn}.norm")
+            layer[attn] = a
+        layer["mlp"] = {"fc1": _lin(sd, f"{pref}.mlp.fc1"),
+                        "fc2": _lin(sd, f"{pref}.mlp.fc2")}
+        if not config.qk_norm:
+            layer["norm1"] = _ln(sd, f"{pref}.norm1")
+            layer["norm2"] = _ln(sd, f"{pref}.norm2")
+        # per-layer per-domain projectors -> stacked DomainModulate
+        if domains and "modulate" in config.action_network:
+            mod = {
+                "ada_fc1": _stack_domain_linears(
+                    sd, pref + ".action_projectors.{}.adaLN_modulation.0", domains),
+                "ada_fc2": _stack_domain_linears(
+                    sd, pref + ".action_projectors.{}.adaLN_modulation.2", domains),
+                "linear_out": _stack_domain_linears(
+                    sd, pref + ".action_projectors.{}.linear_out", domains),
+            }
+            layer["action_projector"] = mod
+        dec[f"layers_{i}"] = layer
+    P["decoder"] = dec
+
+    # action stems (BasicMLP: model.0 Linear, model.1 LN, model.3 Linear)
+    if domains:
+        max_da = config.max_d_action
+        stem = {
+            "fc1": _stack_domain_linears(sd, "action_mlp.{}.model.0", domains,
+                                         in_pad=max_da),
+            "fc2": _stack_domain_linears(sd, "action_mlp.{}.model.3", domains),
+            "ln": {
+                "scale": np.stack([
+                    np.asarray(sd[f"action_mlp.{d}.model.1.weight"]).astype(np.float32)
+                    for d in domains]),
+                "bias": np.stack([
+                    np.asarray(sd[f"action_mlp.{d}.model.1.bias"]).astype(np.float32)
+                    for d in domains]),
+            },
+        }
+        P["action_stem"] = stem
+        if config.jointly_predict_actions and \
+                f"action_out_projectors.{domains[0]}.weight" in sd:
+            P["action_readout"] = {"out": _stack_domain_linears(
+                sd, "action_out_projectors.{}", domains, out_pad=max_da)}
+
+    return {"params": P}
+
+
+def load_reference_checkpoint(path: str, config) -> dict:
+    """Load a reference checkpoint dir/file (pytorch_model.bin or
+    model.safetensors) into Flax params."""
+    import os
+
+    sd = None
+    if os.path.isdir(path):
+        for cand in ("pytorch_model.bin", "model.safetensors"):
+            p = os.path.join(path, cand)
+            if os.path.exists(p):
+                path = p
+                break
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+    else:
+        import torch
+
+        sd = {k: v.numpy() for k, v in
+              torch.load(path, map_location="cpu", weights_only=True).items()}
+    return import_stmaskgit_state_dict(sd, config)

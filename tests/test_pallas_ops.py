@@ -40,3 +40,14 @@ def test_lfq_fused_matches_reference():
     ref = lfq_quantize(z)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref.indices))
     np.testing.assert_array_equal(np.asarray(quant), np.sign(np.asarray(z)))
+
+
+def test_fused_attention_vjp_matches_reference():
+    """Custom VJP (pallas fwd, XLA bwd) must match reference grads."""
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(2, 16, 2, 32)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.normal(size=(2, 16, 2, 32)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 16, 2, 32)), jnp.float32)
+    g1 = jax.grad(lambda q: jnp.sum(fused_attention(q, k, v, interpret=True) ** 2))(q)
+    g2 = jax.grad(lambda q: jnp.sum(_reference_attention(q, k, v, False) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4, rtol=2e-4)

@@ -117,3 +117,22 @@ def test_no_action_path():
     params = model.init(jax.random.PRNGKey(0), tokens, tokens)
     out = model.apply(params, tokens, tokens)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_remat_model_matches_and_trains(model_and_params):
+    """remat=True must not change forward values and must produce grads."""
+    cfg, model, params, tokens, actions, domain_id = model_and_params
+    from hma_tpu.models.st_mask_git import STMaskGIT as M
+
+    rm = M(cfg, dtype=jnp.float32, remat=True)
+    l1, _ = model.apply(params, tokens, actions, domain_id,
+                        method=M.compute_logits)
+    l2, _ = rm.apply(params, tokens, actions, domain_id,
+                     method=M.compute_logits)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+    inp = tokens.at[:, 1:, :8].set(cfg.image_vocab_size)
+    g = jax.grad(lambda p: rm.apply(
+        p, inp, tokens, actions, domain_id,
+        rngs={"action_drop": jax.random.PRNGKey(0)})["loss"])(params)
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
