@@ -156,6 +156,18 @@ class DiffusionGenieConfig(GenieConfig):
         return dataclasses.replace(self)
 
 
+@dataclass
+class CogVideoGenieConfig(GenieConfig):
+    """Unused CogVideo variant kept for config-surface parity
+    (reference: hma/config.py:120-133; never instantiated there either)."""
+
+    CogVideo: bool = True
+    dim: int = 512
+    num_attention_heads: int = 30
+    attention_head_dim: int = 16
+    time_embed_dim: int = 128
+
+
 def load_config(path: str):
     """Load either config flavor from a JSON file; dispatch on the `Diffusion` key."""
     with open(path) as f:
