@@ -93,6 +93,7 @@ class TrainArgs:
     sp: int = 1
     log_every: int = 10
     grad_checkpointing: bool = True  # remat STBlocks in the train step
+    save_second_epoch: bool = False  # pin the epoch-1 checkpoint (never pruned)
     use_native_loader: bool = False  # C++ prefetching loader (discrete only)
 
 
@@ -374,12 +375,19 @@ def run_training(args: TrainArgs) -> dict:
         for indices in sampler:
             if step_i >= max_steps:
                 break
-            if native_loaders is not None:
-                ds_idx = int(task_rng.choice(len(native_loaders), p=dist))
-                batch = native_loaders[ds_idx].next_batch()
-                batch["domain_id"] = np.asarray(ds_idx, np.int32)
-            else:
-                batch = assembler(indices)
+            # per-batch host-side fault tolerance: a bad shard/example must
+            # not kill a long multi-dataset run (reference:
+            # train_multi.py:556-591)
+            try:
+                if native_loaders is not None:
+                    ds_idx = int(task_rng.choice(len(native_loaders), p=dist))
+                    batch = native_loaders[ds_idx].next_batch()
+                    batch["domain_id"] = np.asarray(ds_idx, np.int32)
+                else:
+                    batch = assembler(indices)
+            except Exception as e:
+                logger.log({"train/batch_error": str(e)[:200]}, step=step_i)
+                continue
             dev = {k: jnp.asarray(v) for k, v in batch.items()}
             if put is not None:
                 dev = {k: jax.device_put(v, put(v)) if getattr(v, "ndim", 0) >= 1
@@ -402,6 +410,12 @@ def run_training(args: TrainArgs) -> dict:
                 logger.log({f"val/{k}": v for k, v in eval_metrics.items()},
                            step=step_i)
 
+            if (args.vis_every_n_steps and step_i % args.vis_every_n_steps == 0
+                    and step_i < max_steps and discrete):
+                vis = rollout_eval(model, state.params, val_assembler, val_sets,
+                                   args, config)
+                logger.log({f"vis/{k}": v for k, v in vis.items()}, step=step_i)
+
             if ckpt_every and step_i % ckpt_every == 0:
                 save_checkpoint(args.output_dir, f"step_{step_i}", state, config,
                                 keep_last=args.keep_checkpoints)
@@ -409,6 +423,10 @@ def run_training(args: TrainArgs) -> dict:
         if args.checkpointing_steps == "epoch":
             save_checkpoint(args.output_dir, f"epoch_{epoch}", state, config,
                             keep_last=args.keep_checkpoints)
+        if args.save_second_epoch and epoch == 1:
+            # pinned checkpoint outside the retention policy
+            # (reference: --save_second_epoch, train_multi.py:277-282)
+            save_checkpoint(args.output_dir, "epoch_1_pinned", state, config)
 
     save_checkpoint(args.output_dir, "final_checkpt", state, config)
     logger.close()
@@ -442,3 +460,28 @@ def run_eval(model, params, val_assembler, val_sets, args, discrete, put=None):
     if "loss" in out:
         out["perplexity"] = math.exp(min(out["loss"], 30))
     return out
+
+
+def rollout_eval(model, params, val_assembler, val_sets, args, config):
+    """Autoregressive rollout sanity during training: roll out future
+    frames on one val batch and report token-level agreement with ground
+    truth (the reference decodes to pixels and logs LPIPS/PSNR grids to
+    wandb, train_multi.py:324-464; without tokenizer weights we report
+    token agreement — pixel metrics live in hma_tpu.evaluate)."""
+    import jax.numpy as jnp
+
+    from hma_tpu.rollout.maskgit import generate_tokens
+
+    sampler = MultiTaskBatchSampler([len(d) for d in val_sets],
+                                    batch_size=args.per_device_eval_batch_size,
+                                    temperature=4.0, seed=1)
+    indices = next(iter(sampler))
+    batch = val_assembler(indices)
+    tokens = jnp.asarray(batch["input_ids"]) * 0 + jnp.asarray(batch["labels"])
+    actions = (jnp.asarray(batch["action_ids"]) if "action_ids" in batch else None)
+    out = generate_tokens(model, params, tokens, config.num_prompt_frames,
+                          actions, jnp.asarray(batch["domain_id"]),
+                          jax.random.PRNGKey(0), maskgit_steps=2)
+    gen = np.asarray(out)[:, config.num_prompt_frames:]
+    gt = np.asarray(tokens)[:, config.num_prompt_frames:]
+    return {"rollout_token_match": float((gen == gt).mean())}
