@@ -95,6 +95,43 @@ def make_magvit_encoder(tokenizer_params: dict, batch_size: int = 64,
     return encode_batch
 
 
+def make_svd_encoder(vae_params: Optional[dict] = None, batch_size: int = 32,
+                     image_size: int = 256):
+    """Jitted batched image -> (C, h, w) float16 latent encoder (SVD-VAE
+    mean x SVD_SCALE; reference: get_vae_image_embeddings,
+    datasets/utils.py:150-197)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hma_tpu.data.datasets import SVD_SCALE
+    from hma_tpu.tokenizer.svd_vae import SVDTemporalVAE
+
+    model = SVDTemporalVAE()
+    if vae_params is None:
+        vae_params = model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, image_size, image_size, 3)),
+                                num_frames=1)
+
+    @jax.jit
+    def encode(imgs):
+        z = model.apply(vae_params, imgs, method=SVDTemporalVAE.encode)
+        return (z * SVD_SCALE).transpose(0, 3, 1, 2)  # (B, C, h, w)
+
+    def encode_batch(frames_uint8: np.ndarray) -> np.ndarray:
+        out = []
+        for i in range(0, len(frames_uint8), batch_size):
+            chunk = frames_uint8[i:i + batch_size]
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros_like(chunk[:1]).repeat(pad, 0)])
+            x = normalize_image_np(chunk)
+            z = np.asarray(encode(x))
+            out.append(z[:batch_size - pad])
+        return np.concatenate(out).astype(np.float16)
+
+    return encode_batch
+
+
 def encode_episodes(episodes: Iterable[dict], out_dir: str, name: str, *,
                     encode_batch: Optional[Callable] = None,
                     keep_res: bool = False,
@@ -140,13 +177,20 @@ def encode_episodes(episodes: Iterable[dict], out_dir: str, name: str, *,
         action_arr[i, :len(a)] = a
 
     if encode_batch is not None:
-        video = encode_batch(frames)  # (N, h, w) uint32 tokens
-        extra = {"vocab_size": 2**18, "token_dtype": "uint32"}
+        video = encode_batch(frames)
+        if video.ndim == 4:  # (N, C, h, w) continuous latents
+            extra = {"token_dtype": str(video.dtype),
+                     "latent_channels": int(video.shape[1])}
+        else:                # (N, h, w) discrete tokens
+            extra = {"vocab_size": 2**18, "token_dtype": "uint32"}
     else:
         video = frames  # raw uint8 images
         extra = {"token_dtype": "uint8"}
 
-    h, w = video.shape[1], video.shape[2]
+    if video.ndim == 4 and "latent_channels" in extra:
+        h, w = video.shape[2], video.shape[3]
+    else:
+        h, w = video.shape[1], video.shape[2]
     video.tofile(out / "video.bin")
     np.asarray(segment_ids, np.int32).tofile(out / "segment_ids.bin")
     (out / "actions").mkdir(exist_ok=True)
@@ -203,9 +247,10 @@ def main(argv=None):
             load_magvit2_checkpoint(args.encoder_name_or_path), args.batch_size)
         suffix = "magvit"
     elif args.encoder_type == "temporalvae":
-        raise NotImplementedError(
-            "SVD-VAE encoding requires the temporal VAE weights; see "
-            "hma_tpu/tokenizer/svd_vae.py")
+        # weights via load_svd_vae_torch_weights when available; random
+        # init otherwise (useful for pipeline testing only)
+        encode_batch = make_svd_encoder(batch_size=args.batch_size)
+        suffix = "vae"
 
     out_dir = (f"{args.out_root}/{args.dataset_name}_{suffix}"
                f"_shard{args.shard_ind}_of_{args.num_shards}_{args.data_split}")
