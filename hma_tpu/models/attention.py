@@ -140,6 +140,33 @@ class SelfAttention(nn.Module):
                       dtype=self.dtype)
         return self.proj(out.reshape(B, 1, self.d_model)), k, v
 
+    def decode_window(self, x: jax.Array, k_cache: jax.Array,
+                      v_cache: jax.Array, t0: jax.Array):
+        """Causal attention for F consecutive timesteps [t0, t0+F) against
+        a read-only KV cache holding timesteps < t0.
+
+        x: (B, F, C). Returns (out (B, F, C), k_w, v_w) where k_w/v_w are
+        the window's (B, F, H, D) KV slices for the caller to write.
+        Fusing several timesteps into one pass shares every op across the
+        window — this is what makes one-pass prefill and the fused
+        fill+first-refinement rollout passes cheap.
+        """
+        B, F, C = x.shape
+        q, k, v = self._qkv(x)  # (B, F, H, D)
+        t_max = k_cache.shape[1]
+        k_all = jnp.concatenate([k_cache, k], axis=1)  # (B, T+F, H, D)
+        v_all = jnp.concatenate([v_cache, v], axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (F, t_max + F), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (F, t_max + F), 0)
+        # cache slots valid below t0; window slots causal within the window
+        valid = jnp.where(col < t_max, col < t0, (col - t_max) <= row)
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k_all,
+                            preferred_element_type=jnp.float32)
+        logits = jnp.where(valid[None, None], logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", probs, v_all).reshape(B, F, C)
+        return self.proj(out), k, v
+
 
 class CrossAttention(nn.Module):
     """Cross-attention used by action stems (reference: attention.py:64).

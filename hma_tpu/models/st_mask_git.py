@@ -321,3 +321,49 @@ class STMaskGIT(nn.Module):
         logits = self.out_x_proj(x_states * self.readout_scale).astype(jnp.float32)
         logits = logits.reshape(B, S, cfg.num_factored_vocabs, cfg.factored_vocab_size)
         return logits, k_cache, v_cache
+
+    def window_logits(self, tokens_FS: jax.Array, t0: jax.Array,
+                      k_cache: jax.Array, v_cache: jax.Array,
+                      action_ids: Optional[jax.Array] = None,
+                      domain_id: Optional[jax.Array] = None,
+                      skip_normalization: bool = False,
+                      write_frames: int = 0):
+        """Cached forward over frames [t0, t0+F) in one pass.
+
+        tokens_FS: (B, F, S) int32. Returns (logits (B, F, S, nv, fv) fp32,
+        k_cache, v_cache) with the first `write_frames` frames' KV written.
+        Note: measured on v5e, an F=2 window pass costs ~5x an F=1 pass
+        (Mosaic tiles the (N, F, H, D) temporal tensors poorly for tiny
+        F>1), so the production rollout (rollout/maskgit.py) keeps
+        separate single-frame refine + fill passes; this entry remains
+        for multi-frame decode experiments and is exactness-tested.
+        """
+        cfg = self.config
+        B, F, S = tokens_FS.shape
+        x_FSC = self.token_embed(tokens_FS)
+
+        action_emb = None
+        if action_ids is not None and cfg.num_domains > 0:
+            action_emb = self._action_embedding(action_ids, domain_id,
+                                                skip_normalization)
+            if "concat" in cfg.action_network:
+                cond = jax.lax.dynamic_slice_in_dim(action_emb, t0, F, axis=1)
+                cond = jnp.broadcast_to(
+                    cond[:, :, None, :],
+                    (B, F, cfg.action_token_size, cfg.d_model))
+                x_FSC = jnp.concatenate([x_FSC, cond.astype(self.dtype)], axis=2)
+
+        S_tot = x_FSC.shape[2]
+        pos = jax.lax.dynamic_slice_in_dim(
+            self.pos_embed_TSC[:, :, :S_tot], t0, F, axis=1)
+        x_FSC = x_FSC + pos.astype(self.dtype)
+
+        x_FSC, k_cache, v_cache = self.decoder.window_step(
+            x_FSC, t0, k_cache, v_cache, action_emb, domain_id,
+            write_frames=write_frames)
+
+        x_states = x_FSC[:, :, :S]
+        logits = self.out_x_proj(x_states * self.readout_scale).astype(jnp.float32)
+        logits = logits.reshape(B, F, S, cfg.num_factored_vocabs,
+                                cfg.factored_vocab_size)
+        return logits, k_cache, v_cache

@@ -171,6 +171,41 @@ class STBlock(nn.Module):
         return x_TC.reshape(B, S, C), k_t, v_t
 
 
+
+    def window_step(self, x_FSC: jax.Array, t0: jax.Array,
+                    k_cache: jax.Array, v_cache: jax.Array,
+                    action_emb: Optional[jax.Array] = None,
+                    domain_id: Optional[jax.Array] = None):
+        """Multi-frame decode for frames [t0, t0+F) against the cache.
+
+        x_FSC: (B, F, S, C). Returns (x_out, k_w, v_w) with the window's
+        (B*S, F, H, D) temporal KV slices.
+        """
+        B, F, S, C = x_FSC.shape
+        x_SC = x_FSC.reshape(B * F, S, C)
+        x_SC = x_SC + self.spatial_attn(self._pre1(x_SC))
+        x_FSC = x_SC.reshape(B, F, S, C)
+
+        if action_emb is not None and self.num_domains > 0:
+            cond = jax.lax.dynamic_slice_in_dim(action_emb, t0, F, axis=1)
+            if "mlp" in self.action_processing:
+                x_FSC = x_FSC + cond[:, :, None]
+            elif "cross_attention" in self.action_processing:
+                q = x_FSC.reshape(B, F * S, C)
+                out = self.action_projector(q, action_emb, domain_id)
+                x_FSC = x_FSC + out.reshape(B, F, S, C)
+            elif "modulate" in self.action_processing:
+                x_FSC = x_FSC + self.action_projector(x_FSC, cond[:, :, None],
+                                                      domain_id)
+
+        x_TC = x_FSC.transpose(0, 2, 1, 3).reshape(B * S, F, C)
+        attn_out, k_w, v_w = self.temporal_attn.decode_window(
+            x_TC, k_cache, v_cache, t0)
+        x_TC = x_TC + attn_out
+        x_TC = x_TC + self.mlp(self._pre2(x_TC), deterministic=True)
+        return x_TC.reshape(B, S, F, C).transpose(0, 2, 1, 3), k_w, v_w
+
+
 class STTransformerDecoder(nn.Module):
     """Stack of STBlocks (reference: st_transformer.py:117-177)."""
 
@@ -235,3 +270,24 @@ class STTransformerDecoder(nn.Module):
                 k_cache = jax.lax.dynamic_update_slice(k_cache, k_t[None], idx)
                 v_cache = jax.lax.dynamic_update_slice(v_cache, v_t[None], idx)
         return x_SC, k_cache, v_cache
+
+    def window_step(self, x_FSC: jax.Array, t0: jax.Array,
+                    k_cache: jax.Array, v_cache: jax.Array,
+                    action_emb: Optional[jax.Array] = None,
+                    domain_id: Optional[jax.Array] = None,
+                    write_frames: int = 0):
+        """Multi-frame cached decode; writes the first `write_frames`
+        frames' KV slices into the caches at [t0, t0+write_frames)."""
+        t0 = jnp.asarray(t0, jnp.int32)
+        zero = jnp.asarray(0, jnp.int32)
+        for i, layer in enumerate(self.layers):
+            x_FSC, k_w, v_w = layer.window_step(x_FSC, t0, k_cache[i],
+                                                v_cache[i], action_emb,
+                                                domain_id)
+            if write_frames > 0:
+                idx = (jnp.asarray(i, jnp.int32), zero, t0, zero, zero)
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k_w[:, :write_frames][None], idx)
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v_w[:, :write_frames][None], idx)
+        return x_FSC, k_cache, v_cache

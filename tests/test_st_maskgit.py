@@ -136,3 +136,26 @@ def test_remat_model_matches_and_trains(model_and_params):
         rngs={"action_drop": jax.random.PRNGKey(0)})["loss"])(params)
     total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_window_logits_matches_full_forward(model_and_params):
+    """Multi-frame cached window pass equals the full forward."""
+    cfg, model, params, tokens, actions, domain_id = model_and_params
+    B, T, S = tokens.shape
+    full_logits, _ = model.apply(params, tokens, actions, domain_id,
+                                 method=STMaskGIT.compute_logits)
+    h = int(np.sqrt(S))
+    full = np.asarray(full_logits.reshape(
+        B, cfg.num_factored_vocabs, cfg.factored_vocab_size, T, h, h)
+        .transpose(0, 3, 4, 5, 1, 2)).reshape(B, T, S, cfg.num_factored_vocabs,
+                                              cfg.factored_vocab_size)
+    k_cache, v_cache = model.apply(params, B, method=STMaskGIT.init_cache)
+    got = []
+    for t0 in range(0, T, 2):
+        l, k_cache, v_cache = model.apply(
+            params, tokens[:, t0:t0 + 2], jnp.asarray(t0, jnp.int32),
+            k_cache, v_cache, actions, domain_id, write_frames=2,
+            method=STMaskGIT.window_logits)
+        got.append(np.asarray(l))
+    np.testing.assert_allclose(np.concatenate(got, axis=1), full,
+                               atol=3e-4, rtol=3e-4)
