@@ -106,3 +106,14 @@ def test_sample_factored_greedy():
     logits = logits.at[0, 1, 0, 2].set(5.0).at[0, 1, 1, 0].set(5.0)
     ids, conf = _sample_factored(logits, jax.random.PRNGKey(0), 0.0, 4)
     np.testing.assert_array_equal(np.asarray(ids), [[3 + 1 * 4, 2 + 0 * 4]])
+
+
+def test_generate_horizon():
+    from hma_tpu.rollout.maskgit import generate_horizon
+
+    cfg, model, params, tokens, actions, dom = setup_model()
+    out = generate_horizon(model, params, tokens, 2, 4, actions, dom,
+                           jax.random.PRNGKey(3), maskgit_steps=3)
+    assert out.shape == (tokens.shape[0], 2, cfg.S)
+    assert int(out.max()) < cfg.image_vocab_size
+    assert int(out.min()) >= 0
