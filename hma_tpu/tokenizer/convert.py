@@ -119,6 +119,13 @@ def load_magvit2_checkpoint(ckpt_path: str, use_ema: bool = True) -> dict:
 
     Requires torch (CPU) for deserialization only.
     """
+    import os
+
+    if not os.path.exists(ckpt_path):
+        raise FileNotFoundError(
+            f"MagVit2 checkpoint not found at '{ckpt_path}'. Download it from "
+            "HF 1x-technologies/worldmodel (magvit2.ckpt) as in the reference "
+            "build.sh, then pass --tokenizer_ckpt / --encoder_name_or_path.")
     import torch  # local import: torch is never needed on the TPU path
 
     ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
