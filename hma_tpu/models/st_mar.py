@@ -57,6 +57,7 @@ class STMAR(nn.Module):
     config: DiffusionGenieConfig
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False  # checkpoint each STBlock (training memory)
+    remat_policy: str = "full"  # "full" | "dots" (see STTransformerDecoder)
 
     def setup(self):
         cfg = self.config
@@ -70,7 +71,8 @@ class STMAR(nn.Module):
             use_mup=cfg.use_mup, attn_drop=cfg.attn_drop, mlp_ratio=cfg.mlp_ratio,
             mlp_bias=cfg.mlp_bias, mlp_drop=cfg.mlp_drop,
             action_processing=cfg.action_network, num_domains=cfg.num_domains,
-            dtype=self.dtype, remat=self.remat, name="decoder")
+            dtype=self.dtype, remat=self.remat,
+            remat_policy=self.remat_policy, name="decoder")
         self.pos_embed_TSC = self.param(
             "pos_embed_TSC", nn.initializers.zeros,
             (1, cfg.T, self.seq_len + cfg.action_token_size, cfg.d_model), jnp.float32)

@@ -48,6 +48,7 @@ class STMaskGIT(nn.Module):
     config: GenieConfig
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False  # checkpoint each STBlock (training memory)
+    remat_policy: str = "full"  # "full" | "dots" (see STTransformerDecoder)
 
     @property
     def mask_token_id(self) -> int:
@@ -62,7 +63,8 @@ class STMaskGIT(nn.Module):
             use_mup=cfg.use_mup, attn_drop=cfg.attn_drop, mlp_ratio=cfg.mlp_ratio,
             mlp_bias=cfg.mlp_bias, mlp_drop=cfg.mlp_drop,
             action_processing=cfg.action_network, num_domains=cfg.num_domains,
-            dtype=self.dtype, remat=self.remat, name="decoder")
+            dtype=self.dtype, remat=self.remat,
+            remat_policy=self.remat_policy, name="decoder")
         self.pos_embed_TSC = self.param(
             "pos_embed_TSC", nn.initializers.zeros,
             (1, cfg.T, cfg.S + cfg.action_token_size, cfg.d_model), jnp.float32)
@@ -292,7 +294,7 @@ class STMaskGIT(nn.Module):
         Exactness: spatial attention is per-frame and temporal attention is
         causal, so frame t's logits depend only on frames <= t; with the
         caches holding frames < t this equals the full forward's frame t
-        (verified in tests/test_kv_cache.py).
+        (verified in tests/test_st_maskgit.py).
         """
         cfg = self.config
         B, S = tokens_S.shape

@@ -224,11 +224,19 @@ class STTransformerDecoder(nn.Module):
     num_domains: int = 0
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    # "full": recompute the whole block in the backward (min memory,
+    # +1 extra fwd of compute). "dots": save matmul outputs, recompute
+    # only elementwise ops — near-none recompute cost at ~2x the
+    # activation memory of "full"; the right default for training MFU.
+    remat_policy: str = "full"
 
     def setup(self):
         block = STBlock
         if self.remat:
-            block = nn.remat(STBlock, static_argnums=(3,))
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            block = nn.remat(STBlock, static_argnums=(3,), policy=policy)
         self.layers = [
             block(num_heads=self.num_heads, d_model=self.d_model,
                   qkv_bias=self.qkv_bias, proj_bias=self.proj_bias,

@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hma_tpu.models.st_mar import STMAR, patchify, unpatchify
 from hma_tpu.models.st_mask_git import STMaskGIT
+from hma_tpu.rollout.mar import generate_frame_mar
 from hma_tpu.rollout.maskgit import generate_frame, _prefill
 
 
@@ -78,76 +80,141 @@ class LearnedSimulator(Simulator, abc.ABC):
 
 
 class GenieSimulator(LearnedSimulator):
-    """Action-controllable interactive world model (discrete STMaskGIT).
+    """Action-controllable interactive world model.
+
+    Supports both backbones like the reference's `backbone_type` dispatch
+    (reference: sim/simulator.py:100,135-170): pass an `STMaskGIT`
+    (discrete tokens, rolling (H, h, w) int cache) or an `STMAR`
+    (continuous latents, rolling (H, h, w, C) float cache — the shipped
+    langtable demo configuration, reference: sim/app.py:25-34).
 
     Args:
-        model/params: the trained world model.
-        decode_tokens: (N, h, w) int -> (N, H, W, 3) uint8 pixels, or None
-            to return token frames.
-        encode_image: (H, W, 3) uint8 -> (h, w) int tokens, or None when
-            initial state is provided as tokens.
+        model/params: the trained world model (STMaskGIT or STMAR).
+        decode_tokens: discrete: (N, h, w) int -> (N, H, W, 3) uint8.
+        decode_latents: continuous: (N, h, w, C) latents (x SVD_SCALE)
+            -> (N, H, W, 3) uint8 (see rollout.decode.make_feature_decoder).
+        encode_image: (H, W, 3) uint8 -> (h, w) tokens / (h, w, C) latents.
         prompt_horizon: number of context frames kept in the rolling cache.
         physics_simulator: optional ground-truth sim for PSNR comparison.
+        compute_delta_psnr: per-step controllability probe — PSNR(gt, pred)
+            minus the mean over `average_delta_psnr_over` rollouts with
+            N(0,1) random actions (reference: sim/simulator.py:331-357).
     """
 
-    def __init__(self, model: STMaskGIT, params, *,
+    average_delta_psnr_over = 5
+
+    def __init__(self, model, params, *,
                  domain_id: int = 0,
                  prompt_horizon: int = 3,
                  maskgit_steps: int = 2,
                  temperature: float = 0.0,
                  decode_tokens: Optional[Callable] = None,
+                 decode_latents: Optional[Callable] = None,
                  encode_image: Optional[Callable] = None,
                  physics_simulator: Optional[Simulator] = None,
+                 compute_delta_psnr: bool = False,
                  action_noise_scale: float = 0.0,
                  seed: int = 0):
         cfg = model.config
         assert prompt_horizon < cfg.T, "prompt_horizon must fit the trained window"
+        self.backbone = "stmar" if isinstance(model, STMAR) else "stmaskgit"
         self.model = model
         self.params = params
         self.config = cfg
         self.domain_id = jnp.asarray(domain_id, jnp.int32)
         self.prompt_horizon = prompt_horizon
         self.decode_tokens = decode_tokens
+        self.decode_latents = decode_latents
+        self._decode = decode_latents if self.backbone == "stmar" else decode_tokens
         self.encode_image = encode_image
         self.physics = physics_simulator
+        self.compute_delta_psnr = compute_delta_psnr
+        if compute_delta_psnr:
+            assert physics_simulator is not None and self._decode is not None, \
+                "delta-PSNR needs a physics simulator and a pixel decoder"
         self.action_noise_scale = action_noise_scale
         self.key = jax.random.PRNGKey(seed)
         self._step_times: list[float] = []
         self._psnr_history: list[float] = []
+        self._delta_psnr_history: list[float] = []
 
         H = prompt_horizon
 
-        def _step(params, window_tokens, window_actions, key):
-            """window_tokens: (1, H+1, S) with the last frame masked;
-            window_actions: (1, H+1, max_da)."""
-            k_cache, v_cache = model.apply(
-                params, 1, with_actions=True, method=STMaskGIT.init_cache)
-            k_cache, v_cache = _prefill(model, params, window_tokens,
-                                        k_cache, v_cache, window_actions,
-                                        self.domain_id, H)
-            masked = jnp.full((1, cfg.S), model.mask_token_id, jnp.int32)
-            tokens, _, _, _ = generate_frame(
-                model, params, masked, jnp.asarray(H, jnp.int32),
-                k_cache, v_cache, window_actions, self.domain_id, key,
-                maskgit_steps=maskgit_steps, temperature=temperature)
-            return tokens[0]
+        if self.backbone == "stmaskgit":
+
+            def _step(params, window_tokens, window_actions, key):
+                """window_tokens: (1, H+1, S) with the last frame masked;
+                window_actions: (1, H+1, max_da)."""
+                k_cache, v_cache = model.apply(
+                    params, 1, with_actions=True, method=STMaskGIT.init_cache)
+                k_cache, v_cache = _prefill(model, params, window_tokens,
+                                            k_cache, v_cache, window_actions,
+                                            self.domain_id, H)
+                masked = jnp.full((1, cfg.S), model.mask_token_id, jnp.int32)
+                tokens, _, _, _ = generate_frame(
+                    model, params, masked, jnp.asarray(H, jnp.int32),
+                    k_cache, v_cache, window_actions, self.domain_id, key,
+                    maskgit_steps=maskgit_steps, temperature=temperature)
+                return tokens[0]
+
+        else:
+
+            p = cfg.patch_size
+            h_ = cfg.h // p
+            S_p = h_ * h_
+            pd = cfg.vae_embed_dim * p * p
+
+            def _step(params, window_latents, window_actions, key):
+                """window_latents: (1, H+1, h, w, C) (last frame ignored —
+                generate_frame_mar starts from the mask token);
+                window_actions: (1, H+1, max_da)."""
+                patches = patchify(window_latents, p).reshape(1, H + 1, S_p, pd)
+                k_cache, v_cache = model.apply(
+                    params, 1, with_actions=True, method=STMAR.init_cache)
+
+                def prefill_body(carry, t):
+                    kc, vc = carry
+                    _, _, kc, vc = model.apply(
+                        params, jnp.take(patches, t, axis=1), t, kc, vc,
+                        window_actions, self.domain_id,
+                        method=STMAR.frame_latents)
+                    return (kc, vc), None
+
+                (k_cache, v_cache), _ = jax.lax.scan(
+                    prefill_body, (k_cache, v_cache), jnp.arange(H))
+                frame, _, _, _ = generate_frame_mar(
+                    model, params, jnp.asarray(H, jnp.int32), k_cache, v_cache,
+                    window_actions, self.domain_id, key,
+                    maskgit_steps=maskgit_steps, temperature=temperature,
+                    batch_size=1)
+                lat = unpatchify(frame.reshape(1, 1, h_, h_, pd), p,
+                                 cfg.vae_embed_dim)
+                return lat[0, 0]  # (h, w, C)
 
         self._step_fn = jax.jit(_step)
-        self._token_cache: Optional[np.ndarray] = None  # (H, h, w)
+        # rolling state: (H, h, w) int tokens or (H, h, w, C) float latents
+        self._token_cache: Optional[np.ndarray] = None
         self._action_cache: Optional[np.ndarray] = None  # (H, max_da)
 
     # ------------------------------------------------------------------
 
     def set_initial_state(self, frames, actions=None) -> None:
-        """frames: (prompt_horizon, h, w) token grids, or (prompt_horizon,
+        """frames: (prompt_horizon, h, w) token grids (discrete),
+        (prompt_horizon, h, w, C) latents (continuous), or (prompt_horizon,
         H, W, 3) uint8 images when an encoder is configured
         (reference: set_initial_state/reset, sim/simulator.py:228,473)."""
         frames = np.asarray(frames)
-        if frames.ndim == 4:  # images
+        is_image = frames.ndim == 4 and frames.dtype == np.uint8
+        if is_image:
             assert self.encode_image is not None, "need encode_image for pixel input"
             frames = np.stack([np.asarray(self.encode_image(f)) for f in frames])
         assert frames.shape[0] == self.prompt_horizon
-        self._token_cache = frames.astype(np.int32)
+        if self.backbone == "stmaskgit":
+            assert frames.ndim == 3, frames.shape
+            self._token_cache = frames.astype(np.int32)
+        else:
+            assert frames.ndim == 4, frames.shape  # (H, h, w, C) latents
+            self._token_cache = frames.astype(np.float32)
         da = self.config.max_d_action
         if actions is None:
             actions = np.zeros((self.prompt_horizon, da), np.float32)
@@ -161,15 +228,37 @@ class GenieSimulator(LearnedSimulator):
         return self._current_frame()
 
     def _current_frame(self):
-        tokens = self._token_cache[-1]
-        if self.decode_tokens is not None:
-            return self.decode_tokens(tokens[None])[0]
-        return tokens
+        frame = self._token_cache[-1]
+        if self._decode is not None:
+            return self._decode(frame[None])[0]
+        return frame
+
+    def _make_window(self):
+        """(window, ) model input from the rolling cache: tokens get a
+        masked final frame; latents get a zero final frame (the MAR step
+        fn overwrites it with the mask token internally)."""
+        H = self.prompt_horizon
+        if self.backbone == "stmaskgit":
+            S = self.config.S
+            return np.concatenate([
+                self._token_cache.reshape(H, S),
+                np.full((1, S), self.model.mask_token_id, np.int32)])[None]
+        return np.concatenate([
+            self._token_cache,
+            np.zeros((1, *self._token_cache.shape[1:]), np.float32)])[None]
+
+    def _generate(self, window, actions, key):
+        """One model step -> (h, w) tokens or (h, w, C) latents (numpy)."""
+        out = np.asarray(self._step_fn(
+            self.params, jnp.asarray(window), jnp.asarray(actions), key))
+        if self.backbone == "stmaskgit":
+            return out.reshape(self.config.h, self.config.w)
+        return out
 
     def step(self, action: np.ndarray):
         """Advance one frame under `action` (reference: sim/simulator.py:234-372).
 
-        Returns decoded pixels (H, W, 3) uint8, or raw (h, w) tokens when
+        Returns decoded pixels (H, W, 3) uint8, or raw tokens/latents when
         no decoder is configured.
         """
         assert self._token_cache is not None, "call set_initial_state first"
@@ -181,40 +270,49 @@ class GenieSimulator(LearnedSimulator):
         if self.action_noise_scale > 0:
             padded = padded + np.random.normal(0, self.action_noise_scale, da)
 
-        H, S = self.prompt_horizon, self.config.S
-        window = np.concatenate([
-            self._token_cache.reshape(H, S),
-            np.full((1, S), self.model.mask_token_id, np.int32)])[None]
+        window = self._make_window()
         actions = np.concatenate([self._action_cache, padded[None]])[None]
 
         self.key, k = jax.random.split(self.key)
-        tokens = np.asarray(self._step_fn(
-            self.params, jnp.asarray(window), jnp.asarray(actions), k))
-        frame_tokens = tokens.reshape(self.config.h, self.config.w)
+        frame = self._generate(window, actions, k)
+        step_time = time.perf_counter() - t0  # model time only, like the
+        # reference's measure_step_time window (sim/simulator.py:284-301)
 
-        # roll caches forward
-        self._token_cache = np.concatenate(
-            [self._token_cache[1:], frame_tokens[None]])
-        self._action_cache = np.concatenate([self._action_cache[1:], padded[None]])
-
-        out = frame_tokens
-        if self.decode_tokens is not None:
-            out = self.decode_tokens(frame_tokens[None])[0]
+        out = frame
+        if self._decode is not None:
+            out = self._decode(frame[None])[0]
 
         # Optional ground-truth physics comparison (reference:
         # sim/simulator.py:309-357): step the physics sim with the same
-        # action and track PSNR between generated and true frames.
-        if self.physics is not None and self.decode_tokens is not None:
+        # action; track PSNR and (optionally) the ΔPSNR controllability
+        # signal: PSNR(gt, pred) - mean PSNR(gt, random-action pred).
+        if self.physics is not None and self._decode is not None:
             try:
                 from hma_tpu.metrics.image import psnr as _psnr
 
                 gt = np.asarray(self.physics.step(action))
                 if gt.shape == np.asarray(out).shape:
-                    self._psnr_history.append(float(_psnr(out, gt)))
+                    gt_psnr = float(_psnr(out, gt))
+                    self._psnr_history.append(gt_psnr)
+                    if self.compute_delta_psnr:
+                        delta = 0.0
+                        for i in range(self.average_delta_psnr_over):
+                            self.key, kr = jax.random.split(self.key)
+                            rand_actions = np.random.normal(
+                                size=actions.shape).astype(np.float32)
+                            rand_frame = self._generate(window, rand_actions, kr)
+                            rand_px = self._decode(rand_frame[None])[0]
+                            delta += (gt_psnr - float(_psnr(rand_px, gt))
+                                      ) / self.average_delta_psnr_over
+                        self._delta_psnr_history.append(delta)
             except Exception:
                 pass
 
-        self._step_times.append(time.perf_counter() - t0)
+        # roll caches forward
+        self._token_cache = np.concatenate([self._token_cache[1:], frame[None]])
+        self._action_cache = np.concatenate([self._action_cache[1:], padded[None]])
+
+        self._step_times.append(step_time)
         return out
 
     # ------------------------------------------------------------------
@@ -233,4 +331,6 @@ class GenieSimulator(LearnedSimulator):
         }
         if self._psnr_history:
             stats["psnr_vs_physics"] = float(np.mean(self._psnr_history))
+        if self._delta_psnr_history:
+            stats["delta_psnr"] = float(np.mean(self._delta_psnr_history))
         return stats

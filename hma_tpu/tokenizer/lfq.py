@@ -37,15 +37,23 @@ class LFQResult(NamedTuple):
 
 
 def bits_to_indices(bits: jax.Array) -> jax.Array:
-    """(..., D) bool, little-endian bit k in channel k -> (...) int32."""
-    powers = (2 ** jnp.arange(bits.shape[-1], dtype=jnp.int64)).astype(jnp.int64)
-    return jnp.sum(bits.astype(jnp.int64) * powers, axis=-1).astype(jnp.int32)
+    """(..., D) bool, little-endian bit k in channel k -> (...) int32.
+
+    int32-explicit: D=18 fits comfortably, and D<=31 is the supported
+    range (tokens are stored as int32 on disk; jnp.int64 without x64
+    enabled silently truncates, so we never request it).
+    """
+    D = bits.shape[-1]
+    assert D <= 31, f"codebook_dim {D} exceeds int32 token range"
+    powers = (1 << jnp.arange(D, dtype=jnp.int32)).astype(jnp.int32)
+    return jnp.sum(bits.astype(jnp.int32) * powers, axis=-1).astype(jnp.int32)
 
 
 def indices_to_bits(indices: jax.Array, codebook_dim: int = CODEBOOK_DIM) -> jax.Array:
     """(...) int -> (..., D) bool, channel k = bit k."""
-    powers = 2 ** jnp.arange(codebook_dim, dtype=jnp.int64)
-    return (indices.astype(jnp.int64)[..., None] & powers) != 0
+    assert codebook_dim <= 31, f"codebook_dim {codebook_dim} exceeds int32 range"
+    powers = (1 << jnp.arange(codebook_dim, dtype=jnp.int32)).astype(jnp.int32)
+    return (indices.astype(jnp.int32)[..., None] & powers) != 0
 
 
 def codes_to_latents(indices: jax.Array, codebook_dim: int = CODEBOOK_DIM,

@@ -201,11 +201,16 @@ class TemporalDecoder(nn.Module):
 class SVDTemporalVAE(nn.Module):
     """Encoder + temporal decoder pair (diffusers AutoencoderKLTemporalDecoder)."""
 
+    block_out: Sequence[int] = (128, 256, 512, 512)
+    latent_channels: int = 4
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.encoder = SVDEncoder(dtype=self.dtype, name="encoder")
-        self.decoder = TemporalDecoder(dtype=self.dtype, name="decoder")
+        self.encoder = SVDEncoder(block_out=self.block_out,
+                                  latent_channels=self.latent_channels,
+                                  dtype=self.dtype, name="encoder")
+        self.decoder = TemporalDecoder(block_out=self.block_out,
+                                       dtype=self.dtype, name="decoder")
 
     def encode(self, images: jax.Array) -> jax.Array:
         """(B, H, W, 3) [-1,1] -> (B, H/8, W/8, 4) latent mean (unscaled)."""
@@ -222,12 +227,132 @@ class SVDTemporalVAE(nn.Module):
         return self.decode(z)
 
 
-def load_svd_vae_torch_weights(state_dict: dict) -> dict:
-    """Best-effort import of diffusers AutoencoderKLTemporalDecoder weights.
+def _t2f(t) -> np.ndarray:
+    """torch tensor / array-like -> float32 numpy."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
 
-    Mapping is name-based; conv weights transpose NCHW->HWIO and 3D convs
-    NCDHW->DHWIO. Unmatched reference keys are returned for inspection.
+
+def _conv2d(w):  # torch OIHW -> flax HWIO
+    return _t2f(w).transpose(2, 3, 1, 0)
+
+
+def _conv3d(w):  # torch OIDHW -> flax DHWIO
+    return _t2f(w).transpose(2, 3, 4, 1, 0)
+
+
+def _linear(w):  # torch (out, in) -> flax (in, out)
+    return _t2f(w).T
+
+
+def _take(sd: dict, key: str) -> np.ndarray:
+    if key not in sd:
+        raise KeyError(f"SVD-VAE import: missing torch key {key!r}")
+    return sd.pop(key)
+
+
+def _map_conv2d(sd, tp):
+    return {"kernel": _conv2d(_take(sd, f"{tp}.weight")),
+            "bias": _t2f(_take(sd, f"{tp}.bias"))}
+
+
+def _map_conv3d(sd, tp):
+    return {"kernel": _conv3d(_take(sd, f"{tp}.weight")),
+            "bias": _t2f(_take(sd, f"{tp}.bias"))}
+
+
+def _map_gn(sd, tp):
+    return {"scale": _t2f(_take(sd, f"{tp}.weight")),
+            "bias": _t2f(_take(sd, f"{tp}.bias"))}
+
+
+def _map_linear(sd, tp):
+    return {"kernel": _linear(_take(sd, f"{tp}.weight")),
+            "bias": _t2f(_take(sd, f"{tp}.bias"))}
+
+
+def _map_res2d(sd, tp):
+    out = {"norm1": _map_gn(sd, f"{tp}.norm1"),
+           "conv1": _map_conv2d(sd, f"{tp}.conv1"),
+           "norm2": _map_gn(sd, f"{tp}.norm2"),
+           "conv2": _map_conv2d(sd, f"{tp}.conv2")}
+    if f"{tp}.conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _map_conv2d(sd, f"{tp}.conv_shortcut")
+    return out
+
+
+def _map_res3d(sd, tp):
+    out = {"norm1": _map_gn(sd, f"{tp}.norm1"),
+           "conv1": _map_conv3d(sd, f"{tp}.conv1"),
+           "norm2": _map_gn(sd, f"{tp}.norm2"),
+           "conv2": _map_conv3d(sd, f"{tp}.conv2")}
+    if f"{tp}.conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _map_conv3d(sd, f"{tp}.conv_shortcut")
+    return out
+
+
+def _map_st_res(sd, tp):
+    return {"spatial_res_block": _map_res2d(sd, f"{tp}.spatial_res_block"),
+            "temporal_res_block": _map_res3d(sd, f"{tp}.temporal_res_block"),
+            "mix_factor": _t2f(_take(sd, f"{tp}.time_mixer.mix_factor")
+                               ).reshape(1)}
+
+
+def _map_attn(sd, tp):
+    return {"group_norm": _map_gn(sd, f"{tp}.group_norm"),
+            "to_q": _map_linear(sd, f"{tp}.to_q"),
+            "to_k": _map_linear(sd, f"{tp}.to_k"),
+            "to_v": _map_linear(sd, f"{tp}.to_v"),
+            "to_out": _map_linear(sd, f"{tp}.to_out.0")}
+
+
+def load_svd_vae_torch_weights(state_dict: dict,
+                               block_out: Sequence[int] = (128, 256, 512, 512),
+                               strict: bool = True) -> dict:
+    """diffusers AutoencoderKLTemporalDecoder state_dict -> flax params.
+
+    Name-maps the diffusers layout (reference loads it via
+    `AutoencoderKLTemporalDecoder.from_pretrained`, datasets/utils.py:7,22)
+    onto `SVDTemporalVAE`: conv weights transpose OIHW->HWIO (3D convs
+    OIDHW->DHWIO), attention linears transpose, GroupNorm weight->scale,
+    AlphaBlender `time_mixer.mix_factor` passes through. With `strict`,
+    any unconsumed torch key (except loss/EMA extras) raises.
     """
-    raise NotImplementedError(
-        "SVD-VAE weight import requires the diffusers checkpoint layout; "
-        "supply weights and extend the name map (tracked as a known gap).")
+    sd = {k: v for k, v in state_dict.items()}
+    enc: dict = {"conv_in": _map_conv2d(sd, "encoder.conv_in")}
+    for i in range(len(block_out)):
+        for j in range(2):
+            enc[f"down_{i}_res_{j}"] = _map_res2d(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}")
+        if i < len(block_out) - 1:
+            enc[f"down_{i}_downsample"] = _map_conv2d(
+                sd, f"encoder.down_blocks.{i}.downsamplers.0.conv")
+    enc["mid_res_0"] = _map_res2d(sd, "encoder.mid_block.resnets.0")
+    enc["mid_attn"] = _map_attn(sd, "encoder.mid_block.attentions.0")
+    enc["mid_res_1"] = _map_res2d(sd, "encoder.mid_block.resnets.1")
+    enc["conv_norm_out"] = _map_gn(sd, "encoder.conv_norm_out")
+    enc["conv_out"] = _map_conv2d(sd, "encoder.conv_out")
+    enc["quant_conv"] = _map_conv2d(sd, "quant_conv")
+
+    dec: dict = {"conv_in": _map_conv2d(sd, "decoder.conv_in")}
+    dec["mid_res_0"] = _map_st_res(sd, "decoder.mid_block.resnets.0")
+    dec["mid_attn"] = _map_attn(sd, "decoder.mid_block.attentions.0")
+    dec["mid_res_1"] = _map_st_res(sd, "decoder.mid_block.resnets.1")
+    for i in range(len(block_out)):
+        for j in range(3):
+            dec[f"up_{i}_res_{j}"] = _map_st_res(
+                sd, f"decoder.up_blocks.{i}.resnets.{j}")
+        if i < len(block_out) - 1:
+            dec[f"up_{i}_upsample"] = _map_conv2d(
+                sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")
+    dec["conv_norm_out"] = _map_gn(sd, "decoder.conv_norm_out")
+    dec["conv_out"] = _map_conv2d(sd, "decoder.conv_out")
+    dec["time_conv_out"] = _map_conv3d(sd, "decoder.time_conv_out")
+
+    leftovers = [k for k in sd if not k.startswith(("loss", "ema"))]
+    if strict and leftovers:
+        raise KeyError(f"SVD-VAE import: {len(leftovers)} unconsumed torch "
+                       f"keys, e.g. {leftovers[:5]}")
+    params = {"encoder": enc, "decoder": dec}
+    return {"params": jax.tree.map(jnp.asarray, params)}

@@ -108,22 +108,28 @@ def make_optimizer(learning_rate, weight_decay: float = 0.01,
 
 def make_train_step(model, tx: optax.GradientTransformation,
                     *, action_loss_weight: float = 0.5,
-                    microbatch: int = 0) -> Callable:
+                    microbatch: int = 0, continuous: bool = False) -> Callable:
     """Build train_step(state, batch, rng) -> (state, metrics).
 
-    batch: dict with input_ids/labels (B, T, S) int32, optional
-    action_ids (B, T, max_da) f32, domain_id scalar int32.
+    batch: dict with input_ids/labels (B, T, S) int32 (discrete) or
+    (B, T, h, w, C) f32 latents + masked_tokens_indicator (continuous),
+    optional action_ids (B, T, max_da) f32, domain_id scalar int32.
     If microbatch > 0, the batch is split into B//microbatch chunks and
     gradients are accumulated with lax.scan (manual grad accumulation,
-    reference: train_multi.py:561-586).
+    reference: train_multi.py:561-586). Both model families share this
+    one step so accumulation/NaN-skip semantics are identical.
     """
 
     def loss_fn(params, batch, rng):
+        extra = ((batch["masked_tokens_indicator"],) if continuous else ())
+        rngs = {"dropout": jax.random.fold_in(rng, 1),
+                "action_drop": jax.random.fold_in(rng, 2)}
+        if continuous:
+            rngs["diffusion"] = rng
         out = model.apply(
             params, batch["input_ids"], batch["labels"],
-            batch.get("action_ids"), batch.get("domain_id"),
-            deterministic=False,
-            rngs={"dropout": rng, "action_drop": jax.random.fold_in(rng, 1)})
+            batch.get("action_ids"), batch.get("domain_id"), *extra,
+            deterministic=False, rngs=rngs)
         loss = out["loss"]
         metrics = {"loss": out["loss"], "acc": out["acc"]}
         if "action_loss" in out:
@@ -184,12 +190,20 @@ def make_train_step(model, tx: optax.GradientTransformation,
     return train_step
 
 
-def make_eval_step(model, *, action_loss_weight: float = 0.5) -> Callable:
-    def eval_step(params, batch):
+def make_eval_step(model, *, action_loss_weight: float = 0.5,
+                   continuous: bool = False) -> Callable:
+    """Jittable teacher-forced eval step for either model family; rng is
+    threaded so the continuous model's diffusion-timestep draws differ
+    across eval batches (reference: train_multi.py:641-728)."""
+
+    def eval_step(params, batch, rng):
+        extra = ((batch["masked_tokens_indicator"],) if continuous else ())
+        rngs = {"action_drop": jax.random.fold_in(rng, 1)}
+        if continuous:
+            rngs["diffusion"] = rng
         out = model.apply(params, batch["input_ids"], batch["labels"],
                           batch.get("action_ids"), batch.get("domain_id"),
-                          deterministic=True,
-                          rngs={"action_drop": jax.random.PRNGKey(0)})
+                          *extra, deterministic=True, rngs=rngs)
         metrics = {"loss": out["loss"], "acc": out["acc"],
                    "perplexity": jnp.exp(out["loss"])}
         if "action_loss" in out:

@@ -32,10 +32,17 @@ from hma_tpu.data.datasets import RawFeatureDataset, RawTokenDataset
 from hma_tpu.data.sampler import MultiTaskBatchSampler
 from hma_tpu.models.st_mar import STMAR
 from hma_tpu.models.st_mask_git import STMaskGIT
+from hma_tpu.parallel.distributed import (
+    init_distributed,
+    is_primary,
+    local_slice,
+    make_global_batch,
+)
 from hma_tpu.parallel.mesh import batch_sharding, make_mesh, make_param_shardings
 from hma_tpu.train.step import (
     TrainState,
     custom_cosine_schedule,
+    make_eval_step,
     make_optimizer,
     make_train_step,
     scale_lr_by_batch,
@@ -95,6 +102,10 @@ class TrainArgs:
     grad_checkpointing: bool = True  # remat STBlocks in the train step
     save_second_epoch: bool = False  # pin the epoch-1 checkpoint (never pruned)
     use_native_loader: bool = False  # C++ prefetching loader (discrete only)
+    # MagVit2 VQ checkpoint: enables pixel-space in-training visualization
+    # (PSNR/LPIPS rollout metrics, reference: train_multi.py:324-464)
+    tokenizer_checkpoint: Optional[str] = None
+    lpips_weights: Optional[str] = None  # torch LPIPS(alex) state_dict path
 
 
 def build_domain_datasets(args: TrainArgs, config):
@@ -210,6 +221,10 @@ def make_model(args: TrainArgs, config):
 
 def run_training(args: TrainArgs) -> dict:
     """Main loop; returns final metrics (for tests)."""
+    # Multi-host: connect to the coordinator (no-op unless HMA_TPU_* env /
+    # TPU pod metadata indicates a multi-process launch). Must run before
+    # the first jax.devices() call so the mesh spans every host.
+    init_distributed()
     config = load_config(args.genie_config)
     if args.model_type == "continuous" and not isinstance(config, DiffusionGenieConfig):
         config = DiffusionGenieConfig(**{f.name: getattr(config, f.name)
@@ -235,9 +250,13 @@ def run_training(args: TrainArgs) -> dict:
         for ds in train_sets:
             ds.valid_start_inds = ds.valid_start_inds[:effective_batch]
 
+    # The sampler yields effective-batch-sized index lists; the jitted step
+    # scans grad-accum microbatches of size B internally, so one sampler
+    # draw == one optimizer update.
     sampler = MultiTaskBatchSampler([len(d) for d in train_sets],
-                                    batch_size=B, temperature=3.0, seed=args.seed)
-    steps_per_epoch = max(len(sampler) // args.gradient_accumulation_steps, 1)
+                                    batch_size=effective_batch,
+                                    temperature=3.0, seed=args.seed)
+    steps_per_epoch = max(len(sampler), 1)
     max_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
 
     if args.lr_scheduler_type == "custom_cosine":
@@ -257,7 +276,8 @@ def run_training(args: TrainArgs) -> dict:
         fmt = "{root}/{domain}_magvit_max1000000_train"
         native_loaders = [
             NativeTokenLoader(fmt.format(root=args.data_root, domain=d),
-                              config, batch_size=B, seed=args.seed + i,
+                              config, batch_size=effective_batch,
+                              seed=args.seed + i,
                               action_width=config.max_d_action)
             for i, d in enumerate(domains)]
     val_assembler = BatchAssembler(val_sets, domains, config, args,
@@ -306,48 +326,36 @@ def run_training(args: TrainArgs) -> dict:
         state = load_checkpoint(resume, state)
         start_step = int(state.step)
 
-    microbatch = (args.per_device_train_batch_size * max(n_dev, 1)
-                  if args.gradient_accumulation_steps > 1 else 0)
+    # One unified step for both families: grad-accum microbatches of size B
+    # are scanned inside the jitted step (train/step.py).
+    microbatch = B if args.gradient_accumulation_steps > 1 else 0
+    train_step = jax.jit(make_train_step(
+        model, tx, action_loss_weight=config.action_loss_weight,
+        microbatch=microbatch, continuous=not discrete))
+    eval_step = jax.jit(make_eval_step(
+        model, action_loss_weight=config.action_loss_weight,
+        continuous=not discrete))
 
-    def wrap_loss(model, discrete):
-        if discrete:
-            return model
-        return model
+    # Pixel-space in-training visualization (reference: train_multi.py:324-464)
+    vis_decode = vis_lpips = None
+    if args.tokenizer_checkpoint and discrete:
+        from hma_tpu.rollout.decode import make_token_decoder
+        from hma_tpu.tokenizer.convert import load_magvit2_checkpoint
 
-    # continuous model takes masked_tokens_indicator; adapt the step fn
-    if discrete:
-        train_step = jax.jit(make_train_step(
-            model, tx, action_loss_weight=config.action_loss_weight,
-            microbatch=microbatch))
-    else:
-        import optax
+        vis_decode = make_token_decoder(
+            load_magvit2_checkpoint(args.tokenizer_checkpoint))
+        if args.lpips_weights:
+            import torch
 
-        def step_fn(state, batch, rng):
-            def loss_fn(p):
-                out = model.apply(
-                    p, batch["input_ids"], batch["labels"],
-                    batch.get("action_ids"), batch.get("domain_id"),
-                    batch["masked_tokens_indicator"], deterministic=False,
-                    rngs={"diffusion": rng, "dropout": jax.random.fold_in(rng, 1),
-                          "action_drop": jax.random.fold_in(rng, 2)})
-                loss = out["loss"]
-                metrics = {"loss": out["loss"], "acc": out["acc"]}
-                if "action_loss" in out:
-                    loss = loss + config.action_loss_weight * out["action_loss"]
-                    metrics["action_loss"] = out["action_loss"]
-                return loss, metrics
+            from hma_tpu.metrics.lpips import (
+                LPIPS,
+                load_lpips_torch_weights,
+                make_lpips_fn,
+            )
 
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            ok = jnp.isfinite(metrics["loss"])
-            grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_params = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
-                                      new_params, state.params)
-            metrics["grad_norm"] = optax.global_norm(grads)
-            return TrainState(new_params, opt_state, state.step + 1), metrics
-
-        train_step = jax.jit(step_fn)
+            sd = torch.load(args.lpips_weights, map_location="cpu")
+            lp = LPIPS(net="alex")
+            vis_lpips = make_lpips_fn(load_lpips_torch_weights(lp, sd), net="alex")
 
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     exp_config = {**dataclasses.asdict(args), **{
@@ -358,11 +366,19 @@ def run_training(args: TrainArgs) -> dict:
         "FLOPs_per_update_step": 6 * n_params * effective_batch * config.T * config.S,
         "num_datasets": len(domains),
     }}
+    # Multihost: process 0 owns logging; all processes run the loop.
     logger = MetricLogger(args.output_dir, project="video", config=exp_config,
-                          use_wandb=args.report_to == "wandb")
+                          use_wandb=args.report_to == "wandb",
+                          enabled=is_primary())
 
     ckpt_every = int(args.checkpointing_steps) if str(args.checkpointing_steps).isdigit() else None
     put = batch_sharding(mesh) if mesh is not None else None
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        assert native_loaders is None, \
+            "use_native_loader is single-host only (per-host data feeding " \
+            "uses the Python assembler + make_array_from_process_local_data)"
+        assert put is not None
     step_i = start_step
     epoch = 0
     t_last = time.time()
@@ -384,14 +400,20 @@ def run_training(args: TrainArgs) -> dict:
                     batch = native_loaders[ds_idx].next_batch()
                     batch["domain_id"] = np.asarray(ds_idx, np.int32)
                 else:
-                    batch = assembler(indices)
+                    # every process loads only its shard of the global batch
+                    batch = assembler(local_slice(indices))
             except Exception as e:
                 logger.log({"train/batch_error": str(e)[:200]}, step=step_i)
+                if multiproc:
+                    raise  # a desynced skip would deadlock the collective
                 continue
-            dev = {k: jnp.asarray(v) for k, v in batch.items()}
-            if put is not None:
-                dev = {k: jax.device_put(v, put(v)) if getattr(v, "ndim", 0) >= 1
-                       else v for k, v in dev.items()}
+            if multiproc:
+                dev = make_global_batch(batch, put)
+            else:
+                dev = {k: jnp.asarray(v) for k, v in batch.items()}
+                if put is not None:
+                    dev = {k: jax.device_put(v, put(v)) if getattr(v, "ndim", 0) >= 1
+                           else v for k, v in dev.items()}
             state, metrics = train_step(state, dev, jax.random.PRNGKey(step_i))
             step_i += 1
 
@@ -405,15 +427,16 @@ def run_training(args: TrainArgs) -> dict:
                 last_metrics = m
 
             if step_i % args.eval_every_n_steps == 0 or step_i == max_steps:
-                eval_metrics = run_eval(model, state.params, val_assembler,
-                                        val_sets, args, discrete, put)
+                eval_metrics = run_eval(eval_step, state.params, val_assembler,
+                                        val_sets, args, put)
                 logger.log({f"val/{k}": v for k, v in eval_metrics.items()},
                            step=step_i)
 
             if (args.vis_every_n_steps and step_i % args.vis_every_n_steps == 0
-                    and step_i < max_steps and discrete):
+                    and step_i < max_steps and discrete and not multiproc):
                 vis = rollout_eval(model, state.params, val_assembler, val_sets,
-                                   args, config)
+                                   args, config, decode=vis_decode,
+                                   lpips_fn=vis_lpips)
                 logger.log({f"vis/{k}": v for k, v in vis.items()}, step=step_i)
 
             if ckpt_every and step_i % ckpt_every == 0:
@@ -433,25 +456,29 @@ def run_training(args: TrainArgs) -> dict:
     return last_metrics
 
 
-def run_eval(model, params, val_assembler, val_sets, args, discrete, put=None):
-    """Teacher-forced eval over a few val batches
-    (reference: train_multi.py:641-728)."""
+def run_eval(eval_step, params, val_assembler, val_sets, args, put=None):
+    """Teacher-forced eval over a few val batches using the jitted,
+    sharded eval step (reference: train_multi.py:641-728). `eval_step`
+    compiles once; batches are device_put with the training sharding so
+    multi-device eval runs data-parallel, not replicated."""
     B = args.per_device_eval_batch_size * max(len(jax.devices()), 1)
     sampler = MultiTaskBatchSampler([len(d) for d in val_sets], batch_size=B,
                                     temperature=4.0, seed=0)
     metrics_acc: dict = {}
     n = 0
+    multiproc = jax.process_count() > 1
     for i, indices in enumerate(sampler):
         if i >= args.max_eval_steps:
             break
-        batch = val_assembler(indices)
-        dev = {k: jnp.asarray(v) for k, v in batch.items()}
-        out = model.apply(
-            params, dev["input_ids"], dev["labels"], dev.get("action_ids"),
-            dev.get("domain_id"),
-            *([dev["masked_tokens_indicator"]] if not discrete else []),
-            rngs={"diffusion": jax.random.PRNGKey(i),
-                  "action_drop": jax.random.PRNGKey(i + 1)})
+        batch = val_assembler(local_slice(indices))
+        if multiproc:
+            dev = make_global_batch(batch, put)
+        else:
+            dev = {k: jnp.asarray(v) for k, v in batch.items()}
+            if put is not None:
+                dev = {k: jax.device_put(v, put(v)) if getattr(v, "ndim", 0) >= 1
+                       else v for k, v in dev.items()}
+        out = eval_step(params, dev, jax.random.PRNGKey(i))
         for k in ("loss", "acc", "action_loss"):
             if k in out:
                 metrics_acc[k] = metrics_acc.get(k, 0.0) + float(out[k])
@@ -462,14 +489,13 @@ def run_eval(model, params, val_assembler, val_sets, args, discrete, put=None):
     return out
 
 
-def rollout_eval(model, params, val_assembler, val_sets, args, config):
+def rollout_eval(model, params, val_assembler, val_sets, args, config,
+                 decode=None, lpips_fn=None):
     """Autoregressive rollout sanity during training: roll out future
-    frames on one val batch and report token-level agreement with ground
-    truth (the reference decodes to pixels and logs LPIPS/PSNR grids to
-    wandb, train_multi.py:324-464; without tokenizer weights we report
-    token agreement — pixel metrics live in hma_tpu.evaluate)."""
-    import jax.numpy as jnp
-
+    frames on one val batch and report token-level agreement; with a
+    tokenizer checkpoint (`decode`), additionally decode prediction and
+    ground truth to pixels and report PSNR/LPIPS like the reference's
+    wandb rollout grids (reference: train_multi.py:324-464)."""
     from hma_tpu.rollout.maskgit import generate_tokens
 
     sampler = MultiTaskBatchSampler([len(d) for d in val_sets],
@@ -477,11 +503,21 @@ def rollout_eval(model, params, val_assembler, val_sets, args, config):
                                     temperature=4.0, seed=1)
     indices = next(iter(sampler))
     batch = val_assembler(indices)
-    tokens = jnp.asarray(batch["input_ids"]) * 0 + jnp.asarray(batch["labels"])
+    tokens = jnp.asarray(batch["labels"])
     actions = (jnp.asarray(batch["action_ids"]) if "action_ids" in batch else None)
     out = generate_tokens(model, params, tokens, config.num_prompt_frames,
                           actions, jnp.asarray(batch["domain_id"]),
                           jax.random.PRNGKey(0), maskgit_steps=2)
     gen = np.asarray(out)[:, config.num_prompt_frames:]
     gt = np.asarray(tokens)[:, config.num_prompt_frames:]
-    return {"rollout_token_match": float((gen == gt).mean())}
+    metrics = {"rollout_token_match": float((gen == gt).mean())}
+    if decode is not None:
+        from hma_tpu.metrics.image import batch_psnr
+
+        h = w = int(math.isqrt(config.S))
+        pred_px = decode(gen.reshape(-1, h, w))
+        gt_px = decode(gt.reshape(-1, h, w))
+        metrics["rollout_psnr"] = float(np.mean(batch_psnr(pred_px, gt_px)))
+        if lpips_fn is not None:
+            metrics["rollout_lpips"] = float(np.mean(lpips_fn(pred_px, gt_px)))
+    return metrics

@@ -55,6 +55,14 @@ def parse_args(argv=None) -> TrainArgs:
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--no_grad_checkpointing", dest="grad_checkpointing",
+                   action="store_false")
+    p.add_argument("--save_second_epoch", action="store_true")
+    p.add_argument("--use_native_loader", action="store_true")
+    p.add_argument("--tokenizer_checkpoint", type=str, default=None,
+                   help="MagVit2 VQ ckpt: pixel PSNR/LPIPS in-training viz.")
+    p.add_argument("--lpips_weights", type=str, default=None,
+                   help="torch LPIPS(alex) state_dict for the viz metric.")
     ns = p.parse_args(argv)
     return TrainArgs(**vars(ns))
 

@@ -22,19 +22,35 @@ import orbax.checkpoint as ocp
 def save_checkpoint(output_dir: str, tag: str, state: Any, config=None,
                     keep_last: Optional[int] = None,
                     protect: tuple[str, ...] = ("final_checkpt",)) -> str:
-    """Write output_dir/<tag>/{state/, config.json}. tag e.g. 'step_1000'."""
+    """Write output_dir/<tag>/{state/, config.json}. tag e.g. 'step_1000'.
+
+    Multihost: every process must call this (Orbax coordinates the
+    distributed array save); filesystem bookkeeping (mkdir/prune/config)
+    runs on the primary only, with barriers around the stale-dir removal
+    so no process starts writing into a directory another is deleting.
+    """
+    import jax
+
+    primary = jax.process_index() == 0
+    multiproc = jax.process_count() > 1
     out = Path(output_dir) / tag
-    out.mkdir(parents=True, exist_ok=True)
-    ckptr = ocp.StandardCheckpointer()
     path = (out / "state").absolute()
-    if path.exists():
-        shutil.rmtree(path)
+    if primary:
+        out.mkdir(parents=True, exist_ok=True)
+        if path.exists():
+            shutil.rmtree(path)
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_pre_{tag}")
+    ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state)
     ckptr.wait_until_finished()
-    if config is not None:
-        config.save_pretrained(str(out / "config.json"))
-    if keep_last:
-        prune_checkpoints(output_dir, keep_last, protect)
+    if primary:
+        if config is not None:
+            config.save_pretrained(str(out / "config.json"))
+        if keep_last:
+            prune_checkpoints(output_dir, keep_last, protect)
     return str(out)
 
 

@@ -17,11 +17,18 @@ from typing import Any, Optional
 
 class MetricLogger:
     def __init__(self, output_dir: str, project: str = "video",
-                 config: Optional[dict] = None, use_wandb: bool = True):
+                 config: Optional[dict] = None, use_wandb: bool = True,
+                 enabled: bool = True):
+        """`enabled=False` (non-primary hosts in a multi-process run) makes
+        every method a cheap no-op so call sites stay branch-free."""
+        self.enabled = enabled
+        self._fh = None
+        self._wandb = None
+        if not enabled:
+            return
         self.output_dir = Path(output_dir)
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self._fh = open(self.output_dir / "metrics.jsonl", "a")
-        self._wandb = None
         if use_wandb and os.environ.get("WANDB_DISABLED", "").lower() != "true":
             try:
                 import wandb
@@ -36,6 +43,8 @@ class MetricLogger:
             self._fh.flush()
 
     def log(self, metrics: dict, step: Optional[int] = None) -> None:
+        if not self.enabled:
+            return
         rec = {k: _jsonable(v) for k, v in metrics.items()}
         if step is not None:
             rec["_step"] = int(step)
@@ -49,7 +58,8 @@ class MetricLogger:
                 pass
 
     def close(self) -> None:
-        self._fh.close()
+        if self._fh is not None:
+            self._fh.close()
         if self._wandb is not None:
             self._wandb.finish()
 

@@ -1,0 +1,40 @@
+"""Subprocess driver for the 2-process multihost test (not a test module).
+
+Launched by tests/test_multihost.py with HMA_TPU_COORDINATOR /
+HMA_TPU_NUM_PROCESSES / HMA_TPU_PROCESS_ID env set and a 4-device virtual
+CPU platform per process — run_training's init_distributed() then builds
+a 2-host x 4-device global mesh, the torchrun-shaped contract of the
+reference's multi-node scripts
+(reference: experiments/scripts/discrete_model/run_30datasets_waction.sh:6-21).
+"""
+
+import json
+import sys
+from pathlib import Path
+
+
+def main():
+    root = Path(sys.argv[1])
+    from hma_tpu.train.trainer import TrainArgs, run_training
+
+    args = TrainArgs(
+        genie_config=str(root / "config.json"),
+        output_dir=str(root / "out"),
+        train_split=str(root / "datasplit.yaml"),
+        data_root=str(root / "data"),
+        model_type="discrete", window_size=4,
+        per_device_train_batch_size=2, per_device_eval_batch_size=2,
+        learning_rate=3e-3, max_train_steps=6, eval_every_n_steps=3,
+        max_eval_steps=1, checkpointing_steps="1000", num_warmup_steps=2,
+        log_every=2, overfit_first_batch=True)
+    metrics = run_training(args)
+    import jax
+
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+    print("MULTIHOST_OK", jax.process_index(),
+          json.dumps({k: float(v) for k, v in metrics.items()}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,85 @@ def test_interactive_world_driver(tmp_path):
     assert saved.shape == (4, 4, 4)
 
 
+def make_mar_sim(decode_latents=None, **kw):
+    from hma_tpu.config import DiffusionGenieConfig
+    from hma_tpu.models.st_mar import STMAR
+
+    cfg = DiffusionGenieConfig(
+        num_layers=2, num_heads=2, d_model=32, T=4, S=16,
+        image_vocab_size=2**18, num_factored_vocabs=2,
+        vae_embed_dim=4, patch_size=1, diffloss_d=1, diffloss_w=32,
+        num_sampling_steps="5", maskgit_steps=2,
+        action_token_size=8, action_network="concat+modulate",
+        use_actions=True, action_domains=["a"], d_actions=[2],
+        action_stats=[[[0.0, 0.0], [1.0, 1.0]]])
+    model = STMAR(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.normal(size=(1, cfg.T, cfg.h, cfg.h, 4)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(1, cfg.T, cfg.h, cfg.h)) < 0.5, jnp.int32)
+    actions = jnp.asarray(rng.normal(size=(1, cfg.T, cfg.max_d_action)), jnp.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "action_drop": jax.random.PRNGKey(2)},
+        lat, lat, actions, jnp.asarray(0), mask)
+    return GenieSimulator(model, params, prompt_horizon=3, maskgit_steps=2,
+                          decode_latents=decode_latents, **kw), cfg
+
+
+def test_sim_stmar_backbone_step_and_roll():
+    """Continuous (STMAR) backbone, like the reference's shipped langtable
+    demo (reference: sim/simulator.py:135-170, sim/app.py:25-34)."""
+    sim, cfg = make_mar_sim()
+    assert sim.backbone == "stmar"
+    rng = np.random.default_rng(1)
+    frames = rng.normal(size=(3, cfg.h, cfg.h, 4)).astype(np.float32)
+    sim.set_initial_state(frames)
+    f0 = sim.reset()
+    np.testing.assert_array_equal(f0, frames[-1])
+
+    out1 = sim.step(np.asarray([0.05, 0.0]))
+    assert out1.shape == (cfg.h, cfg.h, 4)
+    assert np.isfinite(out1).all()
+    np.testing.assert_array_equal(sim._token_cache[-1], out1)
+    np.testing.assert_array_equal(sim._token_cache[0], frames[1])
+
+    out2 = sim.step(np.asarray([0.0, -0.05]))
+    assert np.isfinite(out2).all()
+    stats = sim.measure_step_time()
+    assert stats["n"] == 2 and stats["p50_ms"] > 0
+
+
+class _ConstPhysics(ReplaySimulator):
+    """Physics stub returning a fixed uint8 image every step."""
+
+    def __init__(self, img):
+        super().__init__(np.stack([img] * 100))
+
+
+def _fake_decode_tokens(tokens):
+    """(N, h, w) int -> (N, h, w, 3) uint8 deterministic pseudo-pixels."""
+    t = np.asarray(tokens) % 251
+    return np.stack([t, (t * 3) % 256, (t * 7) % 256], axis=-1).astype(np.uint8)
+
+
+def test_sim_interactive_delta_psnr():
+    """Interactive ΔPSNR controllability probe
+    (reference: sim/simulator.py:309-357)."""
+    sim, cfg = make_sim(decode=_fake_decode_tokens)
+    gt_img = _fake_decode_tokens(np.zeros((1, 4, 4), np.int32))[0]
+    sim.physics = _ConstPhysics(gt_img)
+    sim.compute_delta_psnr = True
+    sim.average_delta_psnr_over = 2
+    rng = np.random.default_rng(1)
+    sim.set_initial_state(
+        rng.integers(0, cfg.image_vocab_size, (3, 4, 4)).astype(np.int32))
+    out = sim.step(np.asarray([0.05, 0.0]))
+    assert out.shape == (4, 4, 3) and out.dtype == np.uint8
+    stats = sim.measure_step_time()
+    assert "psnr_vs_physics" in stats and np.isfinite(stats["psnr_vs_physics"])
+    assert "delta_psnr" in stats and np.isfinite(stats["delta_psnr"])
+
+
 def test_replay_simulator():
     frames = np.arange(5 * 2 * 2).reshape(5, 2, 2)
     sim = ReplaySimulator(frames)
