@@ -44,7 +44,41 @@ def parse_args(argv=None):
     p.add_argument("--compute_fvd", action="store_true",
                    help="FVD over accumulated decoded clips (needs a pixel decoder)")
     p.add_argument("--compute_fid", action="store_true")
+    p.add_argument("--vae_checkpoint", type=str, default=None,
+                   help="diffusers AutoencoderKLTemporalDecoder torch "
+                        "state_dict path: enables pixel-space FID/FVD "
+                        "(reference: datasets/utils.py:17-24)")
+    p.add_argument("--fvd_backend", type=str, default="styleganv",
+                   choices=["styleganv", "videogpt"],
+                   help="I3D variant for pixel FVD (paper used styleganv)")
+    p.add_argument("--i3d_weights", type=str, default=None,
+                   help="torch I3D state_dict for the chosen FVD backend")
     return p.parse_args(argv)
+
+
+def _decode_clips(vae_ckpt: str, latents: np.ndarray,
+                  clamp: float = 25.0) -> np.ndarray:
+    """(B, T, h, w, C) x SVD_SCALE latents -> (B, T, H, W, 3) uint8 via the
+    SVD temporal VAE (reference: evaluate_diffusion.py:194-212; clamp as in
+    visualize.py:157)."""
+    import torch
+
+    from hma_tpu.tokenizer.svd_vae import (
+        SVD_SCALE,
+        SVDTemporalVAE,
+        load_svd_vae_torch_weights,
+    )
+
+    params = load_svd_vae_torch_weights(torch.load(vae_ckpt, map_location="cpu"))
+    vae = SVDTemporalVAE()
+    decode = jax.jit(lambda z: vae.apply(params, z, method=SVDTemporalVAE.decode))
+    out = []
+    for i in range(latents.shape[0]):  # per-clip to bound device memory
+        z = jnp.asarray(np.clip(latents[i:i + 1], -clamp, clamp) / SVD_SCALE,
+                        jnp.float32)
+        out.append(np.asarray(decode(z)))
+    img = np.concatenate(out)  # (B, T, H, W, 3) in [-1, 1]
+    return np.clip((img + 1) * 127.5, 0, 255).astype(np.uint8)
 
 
 def load_mar_model(checkpoint_dir: str):
@@ -127,6 +161,29 @@ def main(argv=None):
             gts.append(np.asarray(lat))
         pred = np.concatenate(preds)
         gt = np.concatenate(gts)
+        if args.vae_checkpoint:
+            # decode latents to pixels; FID/FVD on real frames
+            # (reference: evaluate_diffusion.py:368-375)
+            pred_px = _decode_clips(args.vae_checkpoint, pred)
+            gt_px = _decode_clips(args.vae_checkpoint, gt)
+            if args.compute_fid:
+                from hma_tpu.metrics.fid import calculate_fid
+
+                result["fid"] = calculate_fid(
+                    pred_px.reshape(-1, *pred_px.shape[2:]),
+                    gt_px.reshape(-1, *gt_px.shape[2:]))
+            if args.compute_fvd and config.T >= 10:
+                from hma_tpu.metrics.fvd import calculate_fvd, load_i3d_torch_weights
+
+                i3d_params = None
+                if args.i3d_weights:
+                    import torch
+
+                    i3d_params = load_i3d_torch_weights(
+                        torch.load(args.i3d_weights, map_location="cpu"))
+                result["fvd"] = calculate_fvd(pred_px, gt_px,
+                                              backend=args.fvd_backend,
+                                              i3d_params=i3d_params)
         flat_embed = lambda v: v.reshape(len(v), -1).astype(np.float32)
         if args.compute_fid:
             from hma_tpu.metrics.fid import fid_from_features

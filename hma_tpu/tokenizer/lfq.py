@@ -15,6 +15,12 @@ Tokens therefore interoperate bit-exactly with datasets produced by the
 reference pipeline. Training-time entropy/commit losses follow
 lookup_free_quantize.py:82-118 (sample-entropy minimization + batch-
 entropy maximization, temperature 0.01).
+
+Note on kernels: a fused Pallas sign-quantize+bitpack was benchmarked on
+v5e against this jnp version (1M x 18 latents): Pallas 6.1 ms vs XLA
+2.0 ms — the D=18 lane dimension tiles badly in Pallas while XLA fuses
+the compare/select/reduce into the encoder's conv epilogue, so the jnp
+path is canonical and the kernel was removed.
 """
 
 from __future__ import annotations

@@ -327,11 +327,14 @@ def run_training(args: TrainArgs) -> dict:
         start_step = int(state.step)
 
     # One unified step for both families: grad-accum microbatches of size B
-    # are scanned inside the jitted step (train/step.py).
+    # are scanned inside the jitted step (train/step.py). Donating the
+    # state lets XLA update params/opt in place — measured ~1.5x train
+    # throughput on v5e (tools/mfu_results.jsonl) and halves peak memory.
     microbatch = B if args.gradient_accumulation_steps > 1 else 0
     train_step = jax.jit(make_train_step(
         model, tx, action_loss_weight=config.action_loss_weight,
-        microbatch=microbatch, continuous=not discrete))
+        microbatch=microbatch, continuous=not discrete),
+        donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(
         model, action_loss_weight=config.action_loss_weight,
         continuous=not discrete))

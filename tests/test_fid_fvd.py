@@ -75,3 +75,38 @@ def test_i3d_shapes_and_fvd():
     diff = calculate_fvd(vids_a, vids_b, embed_fn=embed)
     assert same == pytest.approx(0.0, abs=1e-4)
     assert diff > same
+
+
+def test_i3d_styleganv_backend():
+    """The styleganv I3D variant: 400-d Kinetics logits endpoint +
+    shorter-side resize / center crop (reference:
+    fvd/styleganv/fvd.py:9-18,37-64)."""
+    from hma_tpu.metrics.fvd import make_i3d_embed_fn
+
+    model = InceptionI3D(num_classes=400)
+    v = jnp.zeros((1, 10, 224, 224, 3))
+    params = model.init(jax.random.PRNGKey(0), v)
+    feats = model.apply(params, v)
+    assert feats.shape == (1, 400)
+
+    # non-square input exercises the shorter-side resize + center crop
+    embed = make_i3d_embed_fn(params=params, backend="styleganv")
+    rng = np.random.default_rng(3)
+    vids = rng.integers(0, 255, (2, 10, 64, 96, 3)).astype(np.uint8)
+    out = embed(vids)
+    assert out.shape == (2, 400) and np.isfinite(out).all()
+
+    fvd = calculate_fvd(vids, vids.copy(), embed_fn=embed)
+    assert np.isfinite(fvd) and fvd == pytest.approx(0.0, abs=1e-3)
+
+
+def test_i3d_logits_head_weight_import():
+    """The logits Unit3D (conv3d with bias, no bn) converts from torch."""
+    torch = pytest.importorskip("torch")
+    from hma_tpu.metrics.fvd import load_i3d_torch_weights
+
+    sd = {"logits.conv3d.weight": torch.randn(400, 1024, 1, 1, 1).numpy(),
+          "logits.conv3d.bias": torch.randn(400).numpy()}
+    p = load_i3d_torch_weights(sd)
+    assert p["params"]["logits"]["conv3d"]["kernel"].shape == (1, 1, 1, 1024, 400)
+    assert p["params"]["logits"]["conv3d"]["bias"].shape == (400,)

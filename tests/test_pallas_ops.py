@@ -6,8 +6,6 @@ import numpy as np
 import pytest
 
 from hma_tpu.ops.flash_attention import fused_attention
-from hma_tpu.ops.lfq_kernel import lfq_quantize_fused
-from hma_tpu.tokenizer.lfq import lfq_quantize
 
 
 def _reference_attention(q, k, v, causal):
@@ -31,15 +29,6 @@ def test_fused_attention_matches_reference(causal):
     want = _reference_attention(q, k, v, causal)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
-
-
-def test_lfq_fused_matches_reference():
-    rng = np.random.default_rng(1)
-    z = jnp.asarray(rng.normal(size=(2048, 18)), jnp.float32)
-    ids, quant = lfq_quantize_fused(z, block=1024, interpret=True)
-    ref = lfq_quantize(z)
-    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref.indices))
-    np.testing.assert_array_equal(np.asarray(quant), np.sign(np.asarray(z)))
 
 
 def test_fused_attention_vjp_matches_reference():

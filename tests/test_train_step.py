@@ -80,6 +80,39 @@ def test_train_step_loss_decreases():
     assert all(np.isfinite(losses))
 
 
+def mar_tiny_setup():
+    from hma_tpu.config import DiffusionGenieConfig
+    from hma_tpu.models.st_mar import STMAR
+
+    cfg = DiffusionGenieConfig(
+        num_layers=2, num_heads=2, d_model=32, T=4, S=16,
+        image_vocab_size=2**18, num_factored_vocabs=2,
+        vae_embed_dim=4, patch_size=1, diffloss_d=1, diffloss_w=32,
+        num_sampling_steps="5", maskgit_steps=2,
+        action_token_size=8, action_network="concat+modulate",
+        use_actions=True, action_domains=["a"], d_actions=[4],
+        action_stats=[[[0.0, 0.0], [1.0, 1.0]]])
+    model = STMAR(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    B = 8
+    lat = rng.normal(size=(B, cfg.T, cfg.h, cfg.h, 4)).astype(np.float32)
+    mask = (rng.uniform(size=(B, cfg.T, cfg.h, cfg.h)) < 0.5).astype(np.int32)
+    mask[:, 1, 0, 0] = 1
+    batch = {
+        "input_ids": jnp.asarray(lat),
+        "labels": jnp.asarray(lat),
+        "masked_tokens_indicator": jnp.asarray(mask),
+        "action_ids": jnp.asarray(rng.normal(size=(B, cfg.T, cfg.max_d_action)), jnp.float32),
+        "domain_id": jnp.asarray(0, jnp.int32),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "action_drop": jax.random.PRNGKey(2)},
+        batch["input_ids"], batch["labels"], batch["action_ids"],
+        batch["domain_id"], batch["masked_tokens_indicator"])
+    return cfg, model, params, batch
+
+
 def test_grad_accumulation_matches_full_batch():
     cfg, model, params, batch = tiny_setup()
     tx = make_optimizer(1e-3, params_template=params)
@@ -92,6 +125,48 @@ def test_grad_accumulation_matches_full_batch():
     _, m_micro = jax.jit(micro)(s0, batch, jax.random.PRNGKey(0))
     assert float(m_full["loss"]) == pytest.approx(float(m_micro["loss"]), rel=1e-5)
     assert float(m_full["grad_norm"]) == pytest.approx(float(m_micro["grad_norm"]), rel=1e-3)
+
+
+def test_grad_accumulation_continuous_matches_manual():
+    """STMAR (continuous) gradient accumulation: the diffusion head draws
+    per-microbatch rng, so micro != full exactly; instead verify the scan
+    accumulates exactly the mean of the per-chunk grads computed manually
+    with the same folded keys."""
+    import optax
+
+    cfg, model, params, batch = mar_tiny_setup()
+    tx = make_optimizer(1e-3, params_template=params)
+    micro = make_train_step(model, tx, microbatch=4, continuous=True)
+    s0 = TrainState(params, tx.init(params), jnp.asarray(0))
+    rng = jax.random.PRNGKey(0)
+    _, m_micro = jax.jit(micro)(s0, batch, rng)
+    assert np.isfinite(float(m_micro["loss"]))
+
+    # manual accumulation with the same per-chunk keys the scan uses
+    def chunk_loss(p, mb, key):
+        out = model.apply(
+            p, mb["input_ids"], mb["labels"], mb["action_ids"],
+            batch["domain_id"], mb["masked_tokens_indicator"],
+            deterministic=False,
+            rngs={"diffusion": key, "dropout": jax.random.fold_in(key, 1),
+                  "action_drop": jax.random.fold_in(key, 2)})
+        loss = out["loss"]
+        if "action_loss" in out:
+            loss = loss + 0.5 * out["action_loss"]
+        return loss
+
+    keys = jax.random.split(rng, 2)
+    grads, losses = None, []
+    for i in range(2):
+        mb = {k: v[4 * i:4 * (i + 1)] for k, v in batch.items()
+              if getattr(v, "ndim", 0) >= 1}
+        l, g = jax.value_and_grad(chunk_loss)(params, mb, keys[i])
+        losses.append(float(l))
+        grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+    grads = jax.tree.map(lambda x: x / 2, grads)
+    want_norm = float(optax.global_norm(grads))
+    # micro's grad_norm is post-clip input norm == raw accumulated norm
+    assert float(m_micro["grad_norm"]) == pytest.approx(want_norm, rel=1e-4)
 
 
 def test_sharded_train_step_8_devices():
