@@ -72,6 +72,10 @@ def test_two_process_training(mh_env):
         env["HMA_TPU_COORDINATOR"] = f"localhost:{port}"
         env["HMA_TPU_NUM_PROCESSES"] = "2"
         env["HMA_TPU_PROCESS_ID"] = str(pid)
+        # the driver runs as a script (sys.path[0] = tests/), so the repo
+        # root must come from PYTHONPATH for `import hma_tpu` to resolve
+        repo_root = str(Path(__file__).parents[1])
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
         procs.append(subprocess.Popen(
             [sys.executable, str(driver), str(root)],
             env=env, cwd=str(Path(__file__).parents[1]),
