@@ -15,8 +15,6 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("HMA_TPU_PALLAS_ATTN", "1")
-
 
 def main():
     import jax

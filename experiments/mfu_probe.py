@@ -22,15 +22,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    # name: (remat, policy, donate, B, pallas)
-    "base_full_nodonate_b8": (True, "full", False, 8, False),
-    "full_donate_b8": (True, "full", True, 8, False),
-    "dots_donate_b8": (True, "dots", True, 8, False),
-    "noremat_donate_b8": (False, "full", True, 8, False),
-    "dots_donate_b16": (True, "dots", True, 16, False),
-    "dots_donate_b8_pallas": (True, "dots", True, 8, True),
-    "full_donate_b16": (True, "full", True, 16, False),
-    "full_donate_b32": (True, "full", True, 32, False),
+    # name: (remat, policy, donate, B)
+    # Historical results (v5e, 2026-08-16): remat "dots" LOST to "full"
+    # (0.800 vs 0.667 s/step at B=8) and the Pallas whole-S^2 attention
+    # kernel LOST to XLA (0.885 vs 0.800 s/step) and was removed.
+    "base_full_nodonate_b8": (True, "full", False, 8),
+    "full_donate_b8": (True, "full", True, 8),
+    "dots_donate_b8": (True, "dots", True, 8),
+    "noremat_donate_b8": (False, "full", True, 8),
+    "full_donate_b16": (True, "full", True, 16),
+    "full_donate_b32": (True, "full", True, 32),
 }
 
 
@@ -92,10 +93,7 @@ def run_scan_steps(B=8, n_inner=8):
         f.write(json.dumps(rec) + "\n")
 
 
-def run_variant(name, remat, policy, donate, B, pallas):
-    # env must be set before hma_tpu imports; one variant per process.
-    assert os.environ.get("HMA_TPU_PALLAS_ATTN") == ("1" if pallas else "0")
-
+def run_variant(name, remat, policy, donate, B):
     import jax
     import jax.numpy as jnp
 
@@ -231,18 +229,14 @@ def run_decompose(B=8, remat=True, policy="dots"):
 
 def main():
     if sys.argv[1:2] == ["decompose"]:
-        os.environ.setdefault("HMA_TPU_PALLAS_ATTN", "0")
         run_decompose()
         return
     if sys.argv[1:2] == ["scan"]:
-        os.environ.setdefault("HMA_TPU_PALLAS_ATTN", "0")
         run_scan_steps(B=int(sys.argv[2]) if len(sys.argv) > 2 else 8)
         return
     names = sys.argv[1:] or list(VARIANTS)
     if len(names) == 1 and names[0] in VARIANTS:
-        v = VARIANTS[names[0]]
-        os.environ["HMA_TPU_PALLAS_ATTN"] = "1" if v[4] else "0"
-        run_variant(names[0], *v)
+        run_variant(names[0], *VARIANTS[names[0]])
         return
     # parent mode: one subprocess per variant (env flags + fresh imports)
     import subprocess

@@ -9,9 +9,19 @@ TPU-first equivalents of the reference attention stack
     explicit KV cache, which the reference lacks entirely — its rollout
     recomputes the full stack per MaskGIT step (hma/generate.py:157).
 
-Shapes are small (S<=320 spatial, T<=16 temporal), so XLA's fused
-attention is already near roofline; `hma_tpu.ops.flash_attention`
-provides a Pallas kernel used for the larger spatial shape.
+Kernel strategy (all measured on v5e, experiments/attn_probe.py):
+  - spatial pass (B*T=96, S=320, H=8, D=32, bidirectional): the
+    whole-block Pallas kernel in `hma_tpu.ops.fused_attention` wins
+    1.64x over XLA on forward+backward (3.18 vs 5.22 ms) by keeping the
+    fp32 S x S logits in VMEM in BOTH directions — used on TPU when the
+    shape qualifies (see `_use_fused`).
+  - temporal pass (B*S=2560, T=12, causal): per-program work is too
+    small for a whole-block kernel (4.2 vs 3.3 ms XLA forward) — XLA
+    keeps this one.
+  - an earlier grid-per-(b,h) Pallas kernel with an XLA backward lost to
+    XLA by ~11% end-to-end and was removed; the stock
+    jax flash_attention kernel is 2.6x slower at S=320/D=32 and its
+    backward fails to lower.
 """
 
 from __future__ import annotations
@@ -25,8 +35,26 @@ from flax import linen as nn
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
-# Opt-in Pallas fused attention for the spatial/temporal full passes.
-_USE_PALLAS = os.environ.get("HMA_TPU_PALLAS_ATTN", "0") == "1"
+# "auto" (default): fused kernel on a single TPU device; "never": always
+# XLA; "always": force the kernel (e.g. future shard_map integration).
+_FUSED_MODE = os.environ.get("HMA_TPU_FUSED_ATTN", "auto")
+
+
+def _use_fused(shape, causal: bool) -> bool:
+    """Whether the spatial Pallas kernel applies (trace-time decision).
+
+    Multi-device meshes keep the XLA path: pallas_call has no SPMD
+    partitioning rule, so a sharded operand would be all-gathered.
+    """
+    if _FUSED_MODE == "never" or causal:
+        return False
+    from hma_tpu.ops.fused_attention import supported
+
+    if not supported(shape, shape[-1]):
+        return False
+    if _FUSED_MODE == "always":
+        return True
+    return jax.default_backend() not in ("cpu", "gpu") and jax.device_count() == 1
 
 # Decoder-internal linears use xavier_uniform(gain=0.1), matching the
 # reference's STTransformerDecoder._init_weights (st_transformer.py:159-169).
@@ -101,12 +129,10 @@ class SelfAttention(nn.Module):
     def __call__(self, x: jax.Array, causal: bool = False) -> jax.Array:
         B, N, C = x.shape
         q, k, v = self._qkv(x)
-        # Pallas wins when the (batch*frames, heads) grid is large enough
-        # to fill the chip; XLA's fusion is better at small batch.
-        if _USE_PALLAS and N >= 64 and N % 8 == 0 and B >= 16:
-            from hma_tpu.ops.flash_attention import fused_attention
+        if _use_fused(q.shape, causal):
+            from hma_tpu.ops.fused_attention import fused_attention
 
-            out = fused_attention(q, k, v, causal=causal)
+            out = fused_attention(q, k, v, causal)
         else:
             out = _attend(q, k, v, causal=causal, dtype=self.dtype)
         return self.proj(out.reshape(B, N, C))

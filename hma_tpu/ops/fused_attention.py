@@ -1,0 +1,192 @@
+"""Fused attention (forward + backward) as whole-block Pallas TPU kernels.
+
+Motivation (measured on v5e, flagship train step, experiments/trace_step.py):
+the ST transformer's spatial attention materializes (B*T, H, S, S) fp32
+logits in HBM three times per layer per step (forward, remat recompute,
+backward), accounting for the majority of the ~320 GB/step HBM traffic —
+the train step is bandwidth-bound, not compute-bound. Both XLA and the
+stock `jax.experimental.pallas.ops.tpu.flash_attention` kernel (benchmarked
+2.6x slower forward at S=320, D=32, and failing to lower its backward at
+D=32) leave that traffic in place.
+
+This kernel holds the full (S, S) score matrix in VMEM per (batch element)
+grid program — S<=512 and head_dim 32-64 make everything fit — and loops
+heads inside the program (heads live on a leading, untiled axis so the
+loop indexes whole (S, D) tile planes), so logits/probs NEVER round-trip
+HBM:
+
+  forward:  out, lse    reads q,k,v          writes out,lse    (~0.5 MB/pgm)
+  backward: dq,dk,dv    reads q,k,v,out,dout,lse               (~1 MB/pgm)
+
+The backward is the flash-attention backward specialized to the
+single-block case: p = exp(logits - lse), delta = rowsum(dout*out),
+ds = p * (dp - delta), with all (S,S) intermediates in VMEM.
+
+Public layout is (B, S, H, D) matching `hma_tpu.models.attention._attend`
+(q pre-scaled); the wrapper transposes to the kernel's (B, H, S, D).
+Softmax statistics are fp32; matmul inputs bf16 with fp32 accumulation —
+the same numerics contract as the XLA path.
+
+Reference being replaced: xformers memory_efficient_attention
+(hma/model/attention.py:136-155) — the reference's CUDA flash-attention.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _causal_mask(S: int):
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    return col > row  # True where masked
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, causal: bool,
+                num_heads: int):
+    for h in range(num_heads):
+        q = q_ref[0, h]  # (S, D) bf16
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (S, S)
+        if causal:
+            logits = jnp.where(_causal_mask(logits.shape[0]), NEG_INF, logits)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        lse_ref[0, h] = (m + jnp.log(s))[:, 0]
+        probs = (p / s).astype(q.dtype)
+        o_ref[0, h] = jax.lax.dot_general(
+            probs, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, causal: bool, num_heads: int):
+    for h in range(num_heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        o = o_ref[0, h].astype(jnp.float32)
+        do = do_ref[0, h]
+        lse = lse_ref[0, h]  # (S,)
+
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = jnp.exp(logits - lse[:, None])
+        if causal:
+            p = jnp.where(_causal_mask(p.shape[0]), 0.0, p)
+        p_lo = p.astype(q.dtype)
+
+        # dv = p^T @ do   — contract over the query axis
+        dv_ref[0, h] = jax.lax.dot_general(
+            p_lo, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+        # dp = do @ v^T ; ds = p * (dp - rowsum(do * o))
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q.dtype)
+
+        dq_ref[0, h] = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[0, h] = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _fwd(q, k, v, causal: bool, interpret: bool):
+    """q, k, v: (B, H, S, D). Returns out (B, H, S, D), lse (B, H, S)."""
+    B, H, S, D = q.shape
+    blk = pl.BlockSpec((1, H, S, D), lambda b: (b, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    lse_blk = pl.BlockSpec((1, H, S), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, causal=causal, num_heads=H),
+        grid=(B,),
+        in_specs=[blk, blk, blk],
+        out_specs=[blk, lse_blk],
+        out_shape=[jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, H, S), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * S * S * D,
+            bytes_accessed=8 * B * S * H * D * q.dtype.itemsize,
+            transcendentals=B * H * S * S),
+    )(q, k, v)
+    return out, lse
+
+
+def _bwd(q, k, v, out, lse, dout, causal: bool, interpret: bool):
+    B, H, S, D = q.shape
+    blk = pl.BlockSpec((1, H, S, D), lambda b: (b, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    lse_blk = pl.BlockSpec((1, H, S), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, causal=causal, num_heads=H),
+        grid=(B,),
+        in_specs=[blk, blk, blk, blk, lse_blk, blk],
+        out_specs=[blk, blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((B, H, S, D), q.dtype)] * 3,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 5 * B * H * S * S * D,
+            bytes_accessed=9 * B * S * H * D * q.dtype.itemsize,
+            transcendentals=B * H * S * S),
+    )(q, k, v, out, lse, dout)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention(q, k, v, causal: bool = False, interpret: bool = False):
+    """Attention out = softmax(q @ k^T [causal-masked]) @ v.
+
+    q, k, v: (B, S, H, D), q pre-scaled. Returns (B, S, H, D) in q.dtype.
+    Fits whole (S, S) score blocks in VMEM: requires S <= ~1024 and
+    S % 8 == 0 (fp32 sublane tiling); intended for the ST transformer's
+    spatial (S=320) and temporal (T<=16) passes on TPU.
+    """
+    out, _ = _fwd(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                  v.transpose(0, 2, 1, 3), causal, interpret)
+    return out.transpose(0, 2, 1, 3)
+
+
+def _vjp_fwd(q, k, v, causal, interpret):
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out, lse = _fwd(qt, kt, vt, causal, interpret)
+    return out.transpose(0, 2, 1, 3), (qt, kt, vt, out, lse)
+
+
+def _vjp_bwd(causal, interpret, res, dout):
+    qt, kt, vt, out, lse = res
+    dq, dk, dv = _bwd(qt, kt, vt, out, lse,
+                      dout.transpose(0, 2, 1, 3).astype(qt.dtype),
+                      causal, interpret)
+    return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
+            dv.transpose(0, 2, 1, 3))
+
+
+fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def supported(q_shape, head_dim: int) -> bool:
+    """Whether the whole-block kernel applies to this attention shape."""
+    B, S, H, D = q_shape
+    return S % 8 == 0 and S <= 1024 and D in (32, 64, 128) and H <= 16
