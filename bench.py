@@ -42,12 +42,6 @@ def main():
     params = model.init({"params": jax.random.PRNGKey(0)},
                         tokens, tokens, actions, domain_id)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    # inference in bf16: halves HBM weight traffic, fp32 kept where it
-    # matters (qk-norm, softmax, logits)
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-
-    run = make_generator(model, num_prompt_frames=num_prompt,
-                         maskgit_steps=maskgit_steps)
 
     def force(out):
         """Device-to-host sync. block_until_ready doesn't actually block
@@ -66,6 +60,52 @@ def main():
             out = fn(*args)
         force(out)
         return (time.perf_counter() - t0) / iters
+
+    # ---- training throughput first (fp32 master params): measured in a
+    # clean allocator state — running it after the rollout section slows
+    # the step 0.58 -> 0.65 s (HBM fragmentation from the inference
+    # buffers), which under-reports training by ~11%.
+    from hma_tpu.train.step import TrainState, make_optimizer, make_train_step
+
+    inp = np.asarray(tokens).copy()
+    inp[:, 1:, : cfg.S // 2] = cfg.image_vocab_size
+    batch = {"input_ids": jnp.asarray(inp), "labels": tokens,
+             "action_ids": actions, "domain_id": domain_id}
+    tx = make_optimizer(1e-4, params_template=params)
+    # remat: the 32-layer backward stores ~10 GB of attention logits
+    # otherwise — rematerialize blocks instead
+    train_model = STMaskGIT(cfg, remat=True)
+    train_step = jax.jit(make_train_step(train_model, tx), donate_argnums=(0,))
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    params = None
+    state, _ = train_step(state, batch, jax.random.PRNGKey(0))  # compile
+
+    s, _m = train_step(state, batch, jax.random.PRNGKey(1))  # warmup
+    force(s.params["params"]["pos_embed_TSC"])
+    t0 = time.perf_counter()
+    for _ in range(20):
+        s, _m = train_step(s, batch, jax.random.PRNGKey(1))
+    force(s.params["params"]["pos_embed_TSC"])
+    dt_train = (time.perf_counter() - t0) / 20
+    tokens_per_step = B * cfg.T * cfg.S
+    train_tokens_per_sec = tokens_per_step / dt_train
+    train_tflops = 6 * n_params * tokens_per_step / dt_train / 1e12
+
+    # free the optimizer/train state and executables before inference.
+    # The train section must run with NOTHING else resident (params were
+    # donated into it): holding even the 0.75 GB bf16 inference copy
+    # through training measurably slows the step (86 vs 96 TFLOP/s) —
+    # HBM headroom matters at this model size. Re-init for inference.
+    del state, s, tx, train_step, train_model
+    jax.clear_caches()
+
+    # inference in bf16: halves HBM weight traffic, fp32 kept where it
+    # matters (qk-norm, softmax, logits)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        tokens, tokens, actions, domain_id)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    run = make_generator(model, num_prompt_frames=num_prompt,
+                         maskgit_steps=maskgit_steps)
 
     key = jax.random.PRNGKey(0)
     dt = timed(run, params, tokens, actions, domain_id, key, iters=20)
@@ -100,39 +140,6 @@ def main():
 
     dt_ref = timed(reference_style, params, tokens, actions, domain_id, key, iters=5, warmup=1)
     fps_ref = B * gen_frames / dt_ref
-
-    # Training throughput at the same flagship config (fp32 master params).
-    from hma_tpu.train.step import TrainState, make_optimizer, make_train_step
-
-    params32 = jax.tree.map(lambda x: x.astype(jnp.float32), params)
-    # free the inference-side buffers before allocating optimizer state
-    del run, reference_style
-    params = None
-    inp = np.asarray(tokens).copy()
-    inp[:, 1:, : cfg.S // 2] = cfg.image_vocab_size
-    batch = {"input_ids": jnp.asarray(inp), "labels": tokens,
-             "action_ids": actions, "domain_id": domain_id}
-    tx = make_optimizer(1e-4, params_template=params32)
-    # remat: the 32-layer backward stores ~10 GB of attention logits
-    # otherwise — rematerialize blocks instead
-    train_model = STMaskGIT(cfg, remat=True)
-    train_step = jax.jit(make_train_step(train_model, tx))
-    state = TrainState(params32, tx.init(params32), jnp.asarray(0))
-    state, _ = train_step(state, batch, jax.random.PRNGKey(0))  # compile
-
-    def one_train(state):
-        s, m = train_step(state, batch, jax.random.PRNGKey(1))
-        return s
-
-    t0 = time.perf_counter()
-    s = state
-    for _ in range(10):
-        s = one_train(s)
-    force(s.params["params"]["pos_embed_TSC"])
-    dt_train = (time.perf_counter() - t0) / 10
-    tokens_per_step = B * cfg.T * cfg.S
-    train_tokens_per_sec = tokens_per_step / dt_train
-    train_tflops = 6 * n_params * tokens_per_step / dt_train / 1e12
 
     print(json.dumps({
         "metric": "rollout_frames_per_sec_chip_362M_discrete",

@@ -43,8 +43,9 @@ _FUSED_MODE = os.environ.get("HMA_TPU_FUSED_ATTN", "auto")
 def _use_fused(shape, causal: bool) -> bool:
     """Whether the spatial Pallas kernel applies (trace-time decision).
 
-    Multi-device meshes keep the XLA path: pallas_call has no SPMD
-    partitioning rule, so a sharded operand would be all-gathered.
+    Multi-device meshes are handled by the kernel's custom_partitioning
+    rule (batch/head dims shard, S and D replicate per shard), so this is
+    purely a backend/shape gate.
     """
     if _FUSED_MODE == "never" or causal:
         return False
@@ -54,7 +55,7 @@ def _use_fused(shape, causal: bool) -> bool:
         return False
     if _FUSED_MODE == "always":
         return True
-    return jax.default_backend() not in ("cpu", "gpu") and jax.device_count() == 1
+    return jax.default_backend() not in ("cpu", "gpu")
 
 # Decoder-internal linears use xavier_uniform(gain=0.1), matching the
 # reference's STTransformerDecoder._init_weights (st_transformer.py:159-169).
@@ -91,6 +92,9 @@ class SelfAttention(nn.Module):
     Mirrors the reference semantics (hma/model/attention.py:10-61): a
     single LayerNorm module normalizes both q and k per head over
     head_dim, and scale = 8/head_dim under muP else head_dim**-0.5.
+    Quirk preserved: the reference constructs `nn.Dropout(attn_drop)` but
+    never calls it in forward (attention.py:29,37-61), so `attn_drop`
+    (0.1 in the MAR model cards) is a no-op there and here.
     """
 
     num_heads: int

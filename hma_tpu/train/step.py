@@ -176,15 +176,20 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
     def train_step(state: TrainState, batch, rng):
         grads, metrics = compute_grads(state.params, batch, rng)
-        # NaN guard: skip the update if the loss went non-finite.
+        # NaN guard: skip the update if the loss went non-finite. Zero the
+        # grads (opt_state moments still decay, matching the reference's
+        # dummy backward) and apply updates scaled by `ok` — one fused
+        # multiply-add instead of a separate params-restoring where-pass.
         ok = jnp.isfinite(metrics["loss"])
-        grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        params = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
-                              params, state.params)
+        ok_f = ok.astype(jnp.float32)
+        # where, not multiply: NaN * 0 = NaN would leak through the guard
+        grads = jax.tree.map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         metrics["grad_norm"] = optax.global_norm(grads)
-        metrics["skipped"] = (~ok).astype(jnp.float32)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(
+            lambda p, u: p + u * ok_f.astype(u.dtype), state.params, updates)
+        metrics["skipped"] = 1.0 - ok_f
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step

@@ -60,9 +60,44 @@ def test_grads_under_remat_and_vmapless_batch():
                                atol=5e-5, rtol=5e-4)
 
 
+def test_sharded_batch_runs_locally_per_device():
+    """Under a dp-sharded jit, the custom_partitioning rule must run the
+    kernel per-shard (no all-gather of the batch) and match the reference."""
+    import re
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = Mesh(np.array(devs[:8]), ("dp",))
+    q, k, v = _make(B=16, S=24, H=2, seed=3)
+    sh = NamedSharding(mesh, P("dp"))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+
+    f = jax.jit(lambda q, k, v: fused_attention(q, k, v, False, True),
+                in_shardings=(sh, sh, sh), out_shardings=sh)
+    got = f(qs, ks, vs)
+    want = _attend(q, k, v, causal=False, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    hlo = f.lower(qs, ks, vs).compile().as_text()
+    assert not re.search(r"all-gather|all-to-all", hlo), \
+        "batch-sharded fused attention inserted collectives"
+
+    # gradient path partitions too
+    g = jax.jit(jax.grad(lambda q: jnp.sum(
+        fused_attention(q, ks, vs, False, True) ** 2)))(qs)
+    g_ref = jax.grad(lambda q: jnp.sum(
+        _attend(q, k, v, causal=False, dtype=jnp.float32) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=5e-5, rtol=5e-4)
+
+
 def test_supported_predicate():
     assert supported((96, 320, 8, 32), 32)
     assert supported((2560, 16, 8, 32), 32)
-    assert not supported((8, 321, 8, 32), 32)   # S % 8 != 0
-    assert not supported((8, 2048, 8, 32), 32)  # S too large for VMEM
-    assert not supported((8, 320, 8, 48), 48)   # odd head_dim
+    assert not supported((8, 320, 8, 32), 32)    # B too small (rollout shape)
+    assert not supported((96, 321, 8, 32), 32)   # S % 8 != 0
+    assert not supported((96, 2048, 8, 32), 32)  # S too large for VMEM
+    assert not supported((96, 320, 8, 48), 48)   # odd head_dim
