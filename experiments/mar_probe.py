@@ -1,0 +1,166 @@
+"""Continuous-flagship (STMAR, d512 card ~1B params incl. 40-domain
+tables) throughput probe on one real TPU chip.
+
+Measures (a) the training step (unified make_train_step, remat, donate)
+and (b) the KV-cached MAR rollout (maskgit_steps x diffusion sampling per
+frame) — the second model family bench.py's discrete headline doesn't
+cover. Writes one JSON line per measurement to /tmp/mar_probe.jsonl.
+
+Run: python experiments/mar_probe.py [train|rollout]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _config(num_domains=40):
+    import json as _json
+
+    from hma_tpu.config import DiffusionGenieConfig
+
+    card = _json.load(open(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "hma_tpu/configs/mar_n32_h8_d512_action.json")))
+    card.pop("Diffusion", None)
+    rng = np.random.default_rng(0)
+    domains = [f"domain_{i}" for i in range(num_domains)]
+    d_actions, stats = [], []
+    for _ in range(num_domains):
+        base = int(rng.integers(2, 8))
+        stride = int(rng.integers(1, 4))
+        d_actions.append(base * stride)
+        stats.append([rng.normal(size=base).tolist(),
+                      (np.abs(rng.normal(size=base)) + 0.5).tolist()])
+    return DiffusionGenieConfig(**card, action_domains=domains,
+                                d_actions=d_actions, action_stats=stats)
+
+
+def _data(cfg, B):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    h = cfg.h
+    lat = jnp.asarray(rng.normal(size=(B, cfg.T, h, h, cfg.vae_embed_dim)),
+                      jnp.float32)
+    mask = np.asarray(rng.uniform(size=(B, cfg.T, h, h)) < 0.7, np.int32)
+    mask[:, 0] = 0
+    actions = jnp.asarray(rng.normal(size=(B, cfg.T, cfg.max_d_action)),
+                          jnp.float32)
+    return lat, jnp.asarray(mask), actions, jnp.asarray(0, jnp.int32)
+
+
+def _force(x):
+    import jax
+    import jax.numpy as jnp
+
+    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
+
+
+def _emit(rec):
+    print(json.dumps(rec), flush=True)
+    with open("/tmp/mar_probe.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def run_train(B=8, num_domains=8):
+    # num_domains=8 on one chip: the full 40-domain card is ~1.5B params
+    # (32 layers x 40 domains of adaLN tables) -> ~18 GB of fp32
+    # params+Adam, beyond one v5e's 16 GB HBM. The 40-domain config is a
+    # multi-chip (fsdp) training config — see __graft_entry__.
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hma_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from hma_tpu.models.st_mar import STMAR
+    from hma_tpu.train.step import TrainState, make_optimizer, make_train_step
+
+    cfg = _config(num_domains)
+    model = STMAR(cfg, remat=True)
+    lat, mask, actions, dom = _data(cfg, B)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "action_drop": jax.random.PRNGKey(2)}, lat, lat, actions, dom, mask)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    tx = make_optimizer(1e-4, params_template=params)
+    step = jax.jit(make_train_step(model, tx, continuous=True),
+                   donate_argnums=(0,))
+    batch = {"input_ids": lat, "labels": lat, "action_ids": actions,
+             "domain_id": dom, "masked_tokens_indicator": mask}
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+
+    t0 = time.perf_counter()
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    _force(state.params["params"]["pos_embed_TSC"])
+    compile_s = time.perf_counter() - t0
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+    _force(state.params["params"]["pos_embed_TSC"])
+    dt = (time.perf_counter() - t0) / iters
+    toks = B * cfg.T * (cfg.h // cfg.patch_size) ** 2
+    _emit({"variant": f"mar_train_b{B}_dom{num_domains}", "step_s": round(dt, 4),
+           "params_M": round(n_params / 1e6, 1),
+           "tokens_per_sec": round(toks / dt),
+           "model_tflops_per_sec": round(6 * n_params * toks / dt / 1e12, 1),
+           "compile_s": round(compile_s, 1)})
+
+
+def run_rollout(B=8):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hma_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from hma_tpu.models.st_mar import STMAR
+    from hma_tpu.rollout.mar import make_mar_generator
+
+    cfg = _config()
+    model = STMAR(cfg)
+    lat, _mask, actions, dom = _data(cfg, B)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "action_drop": jax.random.PRNGKey(2)}, lat, lat, actions, dom,
+        jnp.zeros((B, cfg.T, cfg.h, cfg.h), jnp.int32))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    num_prompt = 2
+    run = make_mar_generator(model, num_prompt_frames=num_prompt,
+                             maskgit_steps=cfg.maskgit_steps)
+
+    t0 = time.perf_counter()
+    out = run(params, lat, actions, dom, jax.random.PRNGKey(0))
+    _force(out)
+    compile_s = time.perf_counter() - t0
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(params, lat, actions, dom, jax.random.PRNGKey(i))
+    _force(out)
+    dt = (time.perf_counter() - t0) / iters
+    gen_frames = cfg.T - num_prompt
+    _emit({"variant": f"mar_rollout_b{B}", "window_s": round(dt, 4),
+           "frames_per_sec": round(B * gen_frames / dt, 2),
+           "maskgit_steps": cfg.maskgit_steps,
+           "diffusion_steps": cfg.num_sampling_steps,
+           "compile_s": round(compile_s, 1)})
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["train", "rollout"]
+    if "train" in which:
+        run_train()
+    if "rollout" in which:
+        run_rollout()
