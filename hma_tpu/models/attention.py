@@ -9,19 +9,21 @@ TPU-first equivalents of the reference attention stack
     explicit KV cache, which the reference lacks entirely — its rollout
     recomputes the full stack per MaskGIT step (hma/generate.py:157).
 
-Kernel strategy (all measured on v5e, experiments/attn_probe.py):
+Kernel strategy (all measured on v5e; experiments/attn_probe.py and
+experiments/temporal_probe.py):
   - spatial pass (B*T=96, S=320, H=8, D=32, bidirectional): the
     whole-block Pallas kernel in `hma_tpu.ops.fused_attention` wins
     1.64x over XLA on forward+backward (3.18 vs 5.22 ms) by keeping the
-    fp32 S x S logits in VMEM in BOTH directions — used on TPU when the
-    shape qualifies (see `_use_fused`).
-  - temporal pass (B*S=2560, T=12, causal): per-program work is too
-    small for a whole-block kernel (4.2 vs 3.3 ms XLA forward) — XLA
-    keeps this one.
-  - an earlier grid-per-(b,h) Pallas kernel with an XLA backward lost to
-    XLA by ~11% end-to-end and was removed; the stock
-    jax flash_attention kernel is 2.6x slower at S=320/D=32 and its
-    backward fails to lower.
+    fp32 S x S logits in VMEM in BOTH directions.
+  - temporal pass (B*S=2560, T=12, causal): the site-on-lanes kernel in
+    `hma_tpu.ops.temporal_attention` wins ~2.5x on forward+backward
+    (1.9 vs 5.4 ms) — XLA pads every T-sized minor dim to the (8, 128)
+    tile, a 10-40x blowup the lane-major layout avoids entirely.
+  - both gates are in `_use_fused`; decode paths (KV cache) stay XLA.
+  - discarded alternatives: a grid-per-(b,h) whole-block kernel with an
+    XLA backward lost to XLA by ~11% end-to-end; the stock jax
+    flash_attention kernel is 2.6x slower at S=320/D=32 and its
+    backward fails to lower at D=32.
 """
 
 from __future__ import annotations
@@ -41,15 +43,20 @@ _FUSED_MODE = os.environ.get("HMA_TPU_FUSED_ATTN", "auto")
 
 
 def _use_fused(shape, causal: bool) -> bool:
-    """Whether the spatial Pallas kernel applies (trace-time decision).
-
-    Multi-device meshes are handled by the kernel's custom_partitioning
-    rule (batch/head dims shard, S and D replicate per shard), so this is
-    purely a backend/shape gate.
+    """Whether a Pallas kernel applies to this full-pass attention shape
+    (trace-time decision). Bidirectional (spatial) shapes route to the
+    whole-block kernel in ops/fused_attention; causal (temporal) shapes
+    with tiny T route to the site-on-lanes kernel in
+    ops/temporal_attention. Multi-device meshes are handled by each
+    kernel's custom_partitioning rule, so this is purely a backend/shape
+    gate.
     """
-    if _FUSED_MODE == "never" or causal:
+    if _FUSED_MODE == "never":
         return False
-    from hma_tpu.ops.fused_attention import supported
+    if causal:
+        from hma_tpu.ops.temporal_attention import supported
+    else:
+        from hma_tpu.ops.fused_attention import supported
 
     if not supported(shape, shape[-1]):
         return False
@@ -134,9 +141,15 @@ class SelfAttention(nn.Module):
         B, N, C = x.shape
         q, k, v = self._qkv(x)
         if _use_fused(q.shape, causal):
-            from hma_tpu.ops.fused_attention import fused_attention
+            if causal:
+                from hma_tpu.ops.temporal_attention import (
+                    fused_temporal_attention)
 
-            out = fused_attention(q, k, v, causal)
+                out = fused_temporal_attention(q, k, v)
+            else:
+                from hma_tpu.ops.fused_attention import fused_attention
+
+                out = fused_attention(q, k, v, causal)
         else:
             out = _attend(q, k, v, causal=causal, dtype=self.dtype)
         return self.proj(out.reshape(B, N, C))
