@@ -7,11 +7,11 @@ makes this tiny-FLOP op cost ~2 ms forward / ~6 ms backward per layer at
 the flagship shape (2560, 12, 8, 32) (experiments/attn_probe.py).
 
 These kernels put the SITE axis on lanes instead: operands are staged as
-(H, T, D, N) blocks over site-tiles, so every elementwise/reduce op runs
-on dense (D, Nb) tiles and the (T, T, Nb) score tensor is exactly the
-natural size. Heads and the T x T score pairs are static loops inside the
-program; causal pairs s > t are skipped at trace time. Forward and
-backward never touch HBM for scores.
+(1, T, D, Nb) per-head blocks over a (heads, site-tiles) grid, so every
+elementwise/reduce op runs on dense (D, Nb) tiles and the (T, T, Nb)
+score tensor is exactly the natural size. The T x T score pairs are
+static loops inside the program; causal pairs s > t are skipped at trace
+time. Forward and backward never touch HBM for scores.
 
 Layout contract: public (N, T, H, D) with q pre-scaled, matching
 `hma_tpu.models.attention._attend` after its (B, S, H, D) convention;
@@ -33,69 +33,67 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, T: int, H: int):
-    """Blocks: q/k/v/o (H, T, D, Nb); lse (H, T, Nb). Causal over T."""
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, T: int):
+    """Blocks: q/k/v/o (1, T, D, Nb); lse (1, T, Nb); grid (H, N/Nb)."""
     f32 = jnp.float32
-    for h in range(H):
-        # logits[t, s] for s <= t, each a (Nb,) lane vector reduced over D
-        probs = []
-        lse_rows = []
-        for t in range(T):
-            rows = []
-            for s in range(t + 1):
-                qk = jnp.sum(q_ref[h, t].astype(f32) * k_ref[h, s].astype(f32),
-                             axis=0)  # (Nb,)
-                rows.append(qk)
-            logits = jnp.stack(rows, axis=0)  # (t+1, Nb)
-            m = jnp.max(logits, axis=0, keepdims=True)
-            p = jnp.exp(logits - m)
-            ssum = jnp.sum(p, axis=0, keepdims=True)
-            lse_rows.append((m + jnp.log(ssum))[0])
-            probs.append(p / ssum)
-        lse_ref[h] = jnp.stack(lse_rows, axis=0)  # (T, Nb)
-        for t in range(T):
-            p = probs[t]  # (t+1, Nb)
-            acc = jnp.zeros_like(v_ref[h, 0], dtype=f32)  # (D, Nb)
-            for s in range(t + 1):
-                acc = acc + p[s][None, :] * v_ref[h, s].astype(f32)
-            o_ref[h, t] = acc.astype(o_ref.dtype)
+    # logits[t, s] for s <= t, each a (Nb,) lane vector reduced over D
+    probs = []
+    lse_rows = []
+    for t in range(T):
+        rows = []
+        for s in range(t + 1):
+            qk = jnp.sum(q_ref[0, t].astype(f32) * k_ref[0, s].astype(f32),
+                         axis=0)  # (Nb,)
+            rows.append(qk)
+        logits = jnp.stack(rows, axis=0)  # (t+1, Nb)
+        m = jnp.max(logits, axis=0, keepdims=True)
+        p = jnp.exp(logits - m)
+        ssum = jnp.sum(p, axis=0, keepdims=True)
+        lse_rows.append((m + jnp.log(ssum))[0])
+        probs.append(p / ssum)
+    lse_ref[0] = jnp.stack(lse_rows, axis=0)  # (T, Nb)
+    for t in range(T):
+        p = probs[t]  # (t+1, Nb)
+        acc = jnp.zeros_like(v_ref[0, 0], dtype=f32)  # (D, Nb)
+        for s in range(t + 1):
+            acc = acc + p[s][None, :] * v_ref[0, s].astype(f32)
+        o_ref[0, t] = acc.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, T: int, H: int):
+                dq_ref, dk_ref, dv_ref, *, T: int):
     f32 = jnp.float32
-    for h in range(H):
-        # delta[t] = sum_d dout[t, d] * out[t, d]  — (Nb,)
-        deltas = [jnp.sum(do_ref[h, t].astype(f32) * o_ref[h, t].astype(f32),
-                          axis=0) for t in range(T)]
-        dq_acc = [jnp.zeros_like(q_ref[h, 0], dtype=f32) for _ in range(T)]
-        dk_acc = [jnp.zeros_like(q_ref[h, 0], dtype=f32) for _ in range(T)]
-        dv_acc = [jnp.zeros_like(q_ref[h, 0], dtype=f32) for _ in range(T)]
-        for t in range(T):
-            lse_t = lse_ref[h, t]  # (Nb,)
-            do_t = do_ref[h, t].astype(f32)  # (D, Nb)
-            for s in range(t + 1):
-                qk = jnp.sum(q_ref[h, t].astype(f32) * k_ref[h, s].astype(f32),
-                             axis=0)
-                p = jnp.exp(qk - lse_t)  # (Nb,)
-                dp = jnp.sum(do_t * v_ref[h, s].astype(f32), axis=0)
-                ds = p * (dp - deltas[t])  # (Nb,)
-                dq_acc[t] = dq_acc[t] + ds[None, :] * k_ref[h, s].astype(f32)
-                dk_acc[s] = dk_acc[s] + ds[None, :] * q_ref[h, t].astype(f32)
-                dv_acc[s] = dv_acc[s] + p[None, :] * do_t
-        for t in range(T):
-            dq_ref[h, t] = dq_acc[t].astype(dq_ref.dtype)
-            dk_ref[h, t] = dk_acc[t].astype(dk_ref.dtype)
-            dv_ref[h, t] = dv_acc[t].astype(dv_ref.dtype)
+    # delta[t] = sum_d dout[t, d] * out[t, d]  — (Nb,)
+    deltas = [jnp.sum(do_ref[0, t].astype(f32) * o_ref[0, t].astype(f32),
+                      axis=0) for t in range(T)]
+    dq_acc = [jnp.zeros_like(q_ref[0, 0], dtype=f32) for _ in range(T)]
+    dk_acc = [jnp.zeros_like(q_ref[0, 0], dtype=f32) for _ in range(T)]
+    dv_acc = [jnp.zeros_like(q_ref[0, 0], dtype=f32) for _ in range(T)]
+    for t in range(T):
+        lse_t = lse_ref[0, t]  # (Nb,)
+        do_t = do_ref[0, t].astype(f32)  # (D, Nb)
+        for s in range(t + 1):
+            qk = jnp.sum(q_ref[0, t].astype(f32) * k_ref[0, s].astype(f32),
+                         axis=0)
+            p = jnp.exp(qk - lse_t)  # (Nb,)
+            dp = jnp.sum(do_t * v_ref[0, s].astype(f32), axis=0)
+            ds = p * (dp - deltas[t])  # (Nb,)
+            dq_acc[t] = dq_acc[t] + ds[None, :] * k_ref[0, s].astype(f32)
+            dk_acc[s] = dk_acc[s] + ds[None, :] * q_ref[0, t].astype(f32)
+            dv_acc[s] = dv_acc[s] + p[None, :] * do_t
+    for t in range(T):
+        dq_ref[0, t] = dq_acc[t].astype(dq_ref.dtype)
+        dk_ref[0, t] = dk_acc[t].astype(dk_ref.dtype)
+        dv_ref[0, t] = dv_acc[t].astype(dv_ref.dtype)
 
 
-def _block_n(N: int, max_nb: int = 256) -> int:
-    # Site tiles sized to the ~16 MB scoped-VMEM stack at (H=8, T=12,
-    # D=32): forward (5 blocks + scratch) fits nb=256 (512 OOMs at
-    # 24.5 MB); backward (9 blocks + fp32 accumulators) needs nb=128.
-    nb = max_nb
+def _block_n(N: int, T: int = 12, D: int = 32) -> int:
+    # Per-head site tiles sized to the ~16 MB scoped-VMEM stack: the
+    # worst case (backward) holds ~12 (T, D, nb) buffers between blocks
+    # and fp32 accumulators. Budget 8 MB.
+    nb = 512
     while nb >= 128:
-        if N % nb == 0:
+        if N % nb == 0 and 12 * T * D * nb * 4 <= 8 * 2**20:
             return nb
         nb //= 2
     return 0
@@ -104,14 +102,14 @@ def _block_n(N: int, max_nb: int = 256) -> int:
 def _fwd(qt, kt, vt, interpret: bool):
     """qt, kt, vt: (H, T, D, N). Returns out (H, T, D, N), lse (H, T, N)."""
     H, T, D, N = qt.shape
-    nb = _block_n(N)
-    blk = pl.BlockSpec((H, T, D, nb), lambda i: (0, 0, 0, i),
+    nb = _block_n(N, T, D)
+    blk = pl.BlockSpec((1, T, D, nb), lambda h, i: (h, 0, 0, i),
                        memory_space=pltpu.VMEM)
-    lse_blk = pl.BlockSpec((H, T, nb), lambda i: (0, 0, i),
+    lse_blk = pl.BlockSpec((1, T, nb), lambda h, i: (h, 0, i),
                            memory_space=pltpu.VMEM)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, T=T, H=H),
-        grid=(N // nb,),
+        functools.partial(_fwd_kernel, T=T),
+        grid=(H, N // nb),
         in_specs=[blk, blk, blk],
         out_specs=[blk, lse_blk],
         out_shape=[jax.ShapeDtypeStruct((H, T, D, N), qt.dtype),
@@ -127,14 +125,14 @@ def _fwd(qt, kt, vt, interpret: bool):
 
 def _bwd(qt, kt, vt, out, lse, dout, interpret: bool):
     H, T, D, N = qt.shape
-    nb = _block_n(N, max_nb=128)
-    blk = pl.BlockSpec((H, T, D, nb), lambda i: (0, 0, 0, i),
+    nb = _block_n(N, T, D)
+    blk = pl.BlockSpec((1, T, D, nb), lambda h, i: (h, 0, 0, i),
                        memory_space=pltpu.VMEM)
-    lse_blk = pl.BlockSpec((H, T, nb), lambda i: (0, 0, i),
+    lse_blk = pl.BlockSpec((1, T, nb), lambda h, i: (h, 0, i),
                            memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, T=T, H=H),
-        grid=(N // nb,),
+        functools.partial(_bwd_kernel, T=T),
+        grid=(H, N // nb),
         in_specs=[blk, blk, blk, blk, lse_blk, blk],
         out_specs=[blk, blk, blk],
         out_shape=[jax.ShapeDtypeStruct((H, T, D, N), qt.dtype)] * 3,
@@ -263,5 +261,5 @@ fused_temporal_attention.defvjp(_vjp_fwd, _vjp_bwd)
 def supported(q_shape, head_dim: int) -> bool:
     """Shape gate: tiny T, lane-tileable site count, small heads."""
     N, T, H, D = q_shape
-    return (T <= 16 and _block_n(N) > 0 and N >= 1024
+    return (T <= 16 and _block_n(N, T, D) > 0 and N >= 1024
             and D in (16, 32, 64) and H <= 16)
