@@ -177,7 +177,10 @@ class STMaskGIT(nn.Module):
         action_pred = None
         if cfg.jointly_predict_actions:
             pooled = jnp.mean(x_TSC[:, :, -cfg.action_token_size:], axis=2)
-            action_pred = self.action_readout(pooled, domain_id).astype(jnp.float32)
+            # action_out_projectors are (Fixed)MuReadout under muP too
+            # (reference: st_mask_git.py:222-235), so the same fold applies.
+            action_pred = self.action_readout(
+                pooled * self.readout_scale, domain_id).astype(jnp.float32)
 
         logits = None
         if cfg.jointly_predict_states:
