@@ -104,7 +104,12 @@ class SimpleMLPAdaLN(nn.Module):
 class DomainSimpleMLPAdaLN(nn.Module):
     """Per-domain stacked SimpleMLPAdaLN (action diffusion heads).
 
-    Channels are padded to `in_channels` = max_d_action across domains.
+    Channels are padded to `in_channels` = max_d_action across domains;
+    the padded output layout is [eps(max) | v(max)] so each half of the
+    reference's per-domain final layer pads independently on import.
+    Every parameter group carries a leading domain axis — the reference
+    keeps one full DiffLoss per domain (st_mar.py:89-100), including its
+    own TimestepEmbedder and res-block LayerNorms, so those stack too.
     """
 
     num_domains: int
@@ -117,13 +122,18 @@ class DomainSimpleMLPAdaLN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, c: jax.Array,
                  domain_id: jax.Array) -> jax.Array:
+        from hma_tpu.models.action_stems import DomainLayerNorm
+
         xavier = xavier_uniform_gain(0.1)
         dd = lambda i, o, name, init=xavier: DomainDense(
             self.num_domains, i, o, kernel_init=init, dtype=self.dtype, name=name)
 
         h = dd(self.in_channels, self.model_channels, "input_proj")(x, domain_id)
-        t_emb = _TimestepEmbedder(self.model_channels, dtype=self.dtype,
-                                  name="time_embed")(t)
+        t_freq = timestep_embedding(t, 256).astype(self.dtype)
+        t_emb = dd(256, self.model_channels, "time_fc1",
+                   nn.initializers.normal(0.02))(t_freq, domain_id)
+        t_emb = dd(self.model_channels, self.model_channels, "time_fc2",
+                   nn.initializers.normal(0.02))(jax.nn.silu(t_emb), domain_id)
         c_emb = dd(self.z_channels, self.model_channels, "cond_embed")(c, domain_id)
         y = t_emb + c_emb
 
@@ -131,8 +141,9 @@ class DomainSimpleMLPAdaLN(nn.Module):
             mod = dd(self.model_channels, 3 * self.model_channels, f"res_{i}_adaLN",
                      nn.initializers.zeros)(jax.nn.silu(y), domain_id)
             shift, scale, gate = jnp.split(mod, 3, axis=-1)
-            hn = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
-                              name=f"res_{i}_ln")(h.astype(jnp.float32)).astype(self.dtype)
+            hn = DomainLayerNorm(self.num_domains, self.model_channels,
+                                 epsilon=1e-6, dtype=self.dtype,
+                                 name=f"res_{i}_ln")(h, domain_id)
             hh = hn * (1 + scale) + shift
             hh = dd(self.model_channels, self.model_channels, f"res_{i}_fc1")(hh, domain_id)
             hh = jax.nn.silu(hh)

@@ -90,6 +90,10 @@ class STMAR(nn.Module):
         self.out_x_proj = nn.Dense(
             cfg.d_model, dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=nn.initializers.normal(0.02), name="out_x_proj")
+        # muP: out_x_proj is a FixedMuReadout in the reference
+        # (st_mar.py:60-61); fold output_mult/width_mult into a constant
+        # pre-scale exactly as STMaskGIT does (base width 256).
+        self.readout_scale = (256.0 / cfg.d_model) if cfg.use_mup else 1.0
         self.decoder_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                                          param_dtype=jnp.float32, name="decoder_norm")
         self.z_proj_ln = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
@@ -172,7 +176,8 @@ class STMAR(nn.Module):
                 x_TSC[:, :, -cfg.action_token_size:], axis=2).astype(jnp.float32)
 
         x_states = x_TSC[:, :, :S]
-        z = self.decoder_norm(self.out_x_proj(x_states).astype(jnp.float32))
+        z = self.decoder_norm(
+            self.out_x_proj(x_states * self.readout_scale).astype(jnp.float32))
         dpe = self.diffusion_pos_embed_learned.reshape(1, cfg.T, self.seq_len, cfg.d_model)
         z = z + dpe[:, :T, :S]
         return z, action_latents
@@ -288,7 +293,8 @@ class STMAR(nn.Module):
                 x_SC[:, -cfg.action_token_size:], axis=1).astype(jnp.float32)
 
         x_states = x_SC[:, :S]
-        z = self.decoder_norm(self.out_x_proj(x_states).astype(jnp.float32))
+        z = self.decoder_norm(
+            self.out_x_proj(x_states * self.readout_scale).astype(jnp.float32))
         dpe = self.diffusion_pos_embed_learned.reshape(1, cfg.T, self.seq_len, cfg.d_model)
         z = z + jax.lax.dynamic_slice_in_dim(dpe, t, 1, axis=1)[:, 0]
         return z, action_latent, k_cache, v_cache

@@ -54,29 +54,12 @@ def _stack_domain_linears(sd, fmt, domains, in_pad=None, out_pad=None):
     return out
 
 
-def import_stmaskgit_state_dict(sd: Dict[str, np.ndarray], config) -> dict:
-    """Reference STMaskGIT state dict -> {'params': ...} for hma_tpu.
-
-    `config` must already carry the dataset-derived fields
-    (action_domains/d_actions/action_stats) the checkpoint was trained
-    with — the reference stores them in its config.json.
-    """
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+def _import_trunk(sd, config) -> dict:
+    """Decoder layers + action stems shared by STMaskGIT and STMAR."""
     domains = config.action_domains or []
     P: dict = {}
-
-    # embeddings and globals
-    te = {}
-    for i in range(config.num_factored_vocabs):
-        te[f"factored_embeds_{i}"] = {
-            "embedding": sd[f"token_embed.factored_embeds.{i}.weight"].astype(np.float32)}
-    te["mask_token_embed"] = sd["token_embed.mask_token_embed"].astype(np.float32)
-    P["token_embed"] = te
-    P["pos_embed_TSC"] = sd["pos_embed_TSC"].astype(np.float32)
     P["action_mask_tokens"] = sd["action_mask_tokens"].astype(np.float32)
-    P["out_x_proj"] = _lin(sd, "out_x_proj")
 
-    # trunk
     dec = {}
     for i in range(config.num_layers):
         pref = f"decoder.layers.{i}"
@@ -123,17 +106,148 @@ def import_stmaskgit_state_dict(sd: Dict[str, np.ndarray], config) -> dict:
             },
         }
         P["action_stem"] = stem
-        if config.jointly_predict_actions and \
-                f"action_out_projectors.{domains[0]}.weight" in sd:
-            P["action_readout"] = {"out": _stack_domain_linears(
-                sd, "action_out_projectors.{}", domains, out_pad=max_da)}
+    return P
+
+
+def import_stmaskgit_state_dict(sd: Dict[str, np.ndarray], config) -> dict:
+    """Reference STMaskGIT state dict -> {'params': ...} for hma_tpu.
+
+    `config` must already carry the dataset-derived fields
+    (action_domains/d_actions/action_stats) the checkpoint was trained
+    with — the reference stores them in its config.json.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    domains = config.action_domains or []
+    P = _import_trunk(sd, config)
+
+    # embeddings and globals
+    te = {}
+    for i in range(config.num_factored_vocabs):
+        te[f"factored_embeds_{i}"] = {
+            "embedding": sd[f"token_embed.factored_embeds.{i}.weight"].astype(np.float32)}
+    te["mask_token_embed"] = sd["token_embed.mask_token_embed"].astype(np.float32)
+    P["token_embed"] = te
+    P["pos_embed_TSC"] = sd["pos_embed_TSC"].astype(np.float32)
+    P["out_x_proj"] = _lin(sd, "out_x_proj")
+
+    if domains and config.jointly_predict_actions and \
+            f"action_out_projectors.{domains[0]}.weight" in sd:
+        P["action_readout"] = {"out": _stack_domain_linears(
+            sd, "action_out_projectors.{}", domains, out_pad=config.max_d_action)}
+
+    return {"params": P}
+
+
+def _import_mlp_adaln(sd, pref: str, depth: int) -> dict:
+    """Reference SimpleMLPAdaLN (diffloss.py:151-233) -> Flax net params."""
+    net = {
+        "input_proj": _lin(sd, f"{pref}.input_proj"),
+        "cond_embed": _lin(sd, f"{pref}.cond_embed"),
+        "time_embed": {"fc1": _lin(sd, f"{pref}.time_embed.mlp.0"),
+                       "fc2": _lin(sd, f"{pref}.time_embed.mlp.2")},
+        "final_adaLN": _lin(sd, f"{pref}.final_layer.adaLN_modulation.1"),
+        "final_linear": _lin(sd, f"{pref}.final_layer.linear"),
+    }
+    for i in range(depth):
+        b = f"{pref}.res_blocks.{i}"
+        net[f"res_{i}_ln"] = _ln(sd, f"{b}.in_ln")
+        net[f"res_{i}_adaLN"] = _lin(sd, f"{b}.adaLN_modulation.1")
+        net[f"res_{i}_fc1"] = _lin(sd, f"{b}.mlp.0")
+        net[f"res_{i}_fc2"] = _lin(sd, f"{b}.mlp.2")
+    return net
+
+
+def _import_action_mlp_adaln(sd, fmt: str, depth: int, domains, d_actions,
+                             max_da: int) -> dict:
+    """Per-domain reference DiffLoss nets -> one domain-stacked net.
+
+    fmt e.g. "action_diff_losses.{}.net". Channel padding: input_proj
+    pads its in-dim to max_da; final_linear's (eps | v) output halves pad
+    independently so the padded layout stays [eps(max) | v(max)]
+    (reference: diffloss.py:19 out_channels = target * 2).
+    """
+    def stack_lin(sub):
+        return _stack_domain_linears(sd, fmt + "." + sub, domains)
+
+    def stack_ln(sub):
+        return {"scale": np.stack([
+                    np.asarray(sd[fmt.format(d) + "." + sub + ".weight"]).astype(np.float32)
+                    for d in domains]),
+                "bias": np.stack([
+                    np.asarray(sd[fmt.format(d) + "." + sub + ".bias"]).astype(np.float32)
+                    for d in domains])}
+
+    net = {
+        "input_proj": _stack_domain_linears(sd, fmt + ".input_proj", domains,
+                                            in_pad=max_da),
+        "cond_embed": stack_lin("cond_embed"),
+        "time_fc1": stack_lin("time_embed.mlp.0"),
+        "time_fc2": stack_lin("time_embed.mlp.2"),
+        "final_adaLN": stack_lin("final_layer.adaLN_modulation.1"),
+    }
+    # final_linear: pad each (eps, v) half of the out dim to max_da
+    kernels, biases = [], []
+    for d, da in zip(domains, d_actions):
+        w = np.asarray(sd[fmt.format(d) + ".final_layer.linear.weight"]).T.astype(np.float32)
+        b = np.asarray(sd[fmt.format(d) + ".final_layer.linear.bias"]).astype(np.float32)
+        pad = ((0, 0), (0, max_da - da))
+        kernels.append(np.concatenate(
+            [np.pad(w[:, :da], pad), np.pad(w[:, da:], pad)], axis=1))
+        biases.append(np.concatenate(
+            [np.pad(b[:da], pad[1]), np.pad(b[da:], pad[1])]))
+    net["final_linear"] = {"kernel": np.stack(kernels), "bias": np.stack(biases)}
+    for i in range(depth):
+        b = f"res_blocks.{i}"
+        net[f"res_{i}_ln"] = stack_ln(f"{b}.in_ln")
+        net[f"res_{i}_adaLN"] = stack_lin(f"{b}.adaLN_modulation.1")
+        net[f"res_{i}_fc1"] = stack_lin(f"{b}.mlp.0")
+        net[f"res_{i}_fc2"] = stack_lin(f"{b}.mlp.2")
+    return net
+
+
+def import_stmar_state_dict(sd: Dict[str, np.ndarray], config) -> dict:
+    """Reference STMAR state dict -> {'params': ...} for hma_tpu.STMAR.
+
+    Maps the continuous model's extra groups (reference:
+    hma/model/st_mar.py:37-120, diffloss.py:10-59): latent mask token,
+    linear patch embed, z_proj_ln/decoder_norm, diffusion pos embed, the
+    DiffLoss MLP, and per-domain action diffusion heads -> one
+    domain-stacked head. pos_embed_TSC is sliced to the patch grid
+    (the reference allocates it at full S but reads only the first
+    seq_len + action_token_size columns, st_mar.py:180).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    domains = config.action_domains or []
+    P = _import_trunk(sd, config)
+
+    seq_len = config.S // config.patch_size**2
+    s_tot = seq_len + config.action_token_size
+    P["pos_embed_TSC"] = sd["pos_embed_TSC"][:, :, :s_tot].astype(np.float32)
+    P["diffusion_pos_embed_learned"] = \
+        sd["diffusion_pos_embed_learned"].astype(np.float32)
+    P["mask_token"] = sd["mask_token"].astype(np.float32)
+    P["token_embed"] = {"kernel": sd["token_embed.weight"].T.astype(np.float32)}
+    P["out_x_proj"] = _lin(sd, "out_x_proj")
+    P["decoder_norm"] = _ln(sd, "decoder_norm")
+    P["z_proj_ln"] = _ln(sd, "z_proj_ln")
+    P["diffloss"] = {"net": _import_mlp_adaln(sd, "diffloss.net",
+                                              config.diffloss_d)}
+
+    if domains and f"action_diff_losses.{domains[0]}.net.input_proj.weight" in sd:
+        P["action_diff_loss"] = {"net": _import_action_mlp_adaln(
+            sd, "action_diff_losses.{}.net", config.diffloss_d,
+            domains, config.d_actions, config.max_d_action)}
 
     return {"params": P}
 
 
 def load_reference_checkpoint(path: str, config) -> dict:
     """Load a reference checkpoint dir/file (pytorch_model.bin or
-    model.safetensors) into Flax params."""
+    model.safetensors) into Flax params. Dispatches STMaskGIT vs STMAR
+    by the state dict itself: STMAR's patch embed is a Linear
+    (`token_embed.weight`), the discrete model's a FactorizedEmbedding
+    (`token_embed.factored_embeds.*`, reference st_mar.py:57 vs
+    st_mask_git.py:184)."""
     import os
 
     sd = None
@@ -152,4 +266,6 @@ def load_reference_checkpoint(path: str, config) -> dict:
 
         sd = {k: v.numpy() for k, v in
               torch.load(path, map_location="cpu", weights_only=True).items()}
+    if "token_embed.weight" in sd:
+        return import_stmar_state_dict(sd, config)
     return import_stmaskgit_state_dict(sd, config)
