@@ -8,6 +8,12 @@ and — when a MagVit2 tokenizer checkpoint is supplied — pixel metrics
 PSNR minus the mean over `--num_action_trials` random-action rollouts,
 reference: evaluate.py:352-376).
 
+Distributed: runs data-parallel over the full device mesh, multi-process
+capable (the reference evaluates under multi-GPU Accelerate with
+cross-rank gathers, evaluate.py:227,387-401). Token metrics are reduced
+inside jit over the global batch; host-side pixel metrics aggregate via
+process_allgather. See parallel/sharded_eval.py.
+
 Deliberately not replicated: the reference deletes old checkpoints from
 inside the evaluator (evaluate.py:130-137).
 """
@@ -17,7 +23,6 @@ from __future__ import annotations
 import argparse
 import json
 import time
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +32,14 @@ from hma_tpu.data.datasets import RawTokenDataset
 from hma_tpu.generate import load_model
 from hma_tpu.metrics.image import batch_psnr, batch_ssim
 from hma_tpu.metrics.token import AvgMetric, teacher_forced_metrics
+from hma_tpu.parallel import distributed as dist
+from hma_tpu.parallel.sharded_eval import (
+    local_rows,
+    put_batch,
+    round_batch,
+    setup_eval_mesh,
+    shard_params,
+)
 from hma_tpu.rollout.maskgit import teacher_forced_logits
 from hma_tpu.train.trainer import _pad_actions
 from hma_tpu.utils.logging import MetricLogger
@@ -47,12 +60,20 @@ def parse_args(argv=None):
     p.add_argument("--num_action_trials", type=int, default=5)
     p.add_argument("--perturbation_scale", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1)
+    p.add_argument("--use_wandb", action="store_true")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    dist.init_distributed()
+    mesh = setup_eval_mesh(fsdp=args.fsdp, tp=args.tp, sp=args.sp,
+                           batch_hint=args.batch_size)
     model, params, config = load_model(args.checkpoint_dir)
+    params = shard_params(params, mesh)
     dataset = RawTokenDataset(args.val_data_dir, window_size=config.T,
                               use_actions=config.use_actions,
                               name=args.domain or "")
@@ -70,68 +91,102 @@ def main(argv=None):
         decode = make_token_decoder(load_magvit2_checkpoint(args.tokenizer_ckpt))
 
     logger = MetricLogger(args.output_dir, project="video_val",
-                          config=vars(args), use_wandb=False)
+                          config=vars(args),
+                          use_wandb=args.use_wandb and dist.is_primary())
 
-    tf_jit = jax.jit(lambda p, tok, act, dom, key: teacher_forced_logits(
-        model, p, tok, act, dom, key, maskgit_steps=args.maskgit_steps,
-        temperature=args.temperature))
+    @jax.jit
+    def tf_jit(p, tok, act, dom, key):
+        samples, logits = teacher_forced_logits(
+            model, p, tok, act, dom, key, maskgit_steps=args.maskgit_steps,
+            temperature=args.temperature)
+        # reduced inside jit: global-batch means, replicated on every host
+        tf = teacher_forced_metrics(logits, tok[:, 1:], config.factored_vocab_size)
+        return samples, tf
 
-    metrics = {k: AvgMetric() for k in
-               ["loss", "perplexity", "acc", "gen_time", "dec_time",
-                "psnr", "ssim", "delta_psnr"]}
+    with mesh:
+        token_metrics, host_metrics = _eval_loop(
+            args, mesh, model, params, config, dataset, domain_id,
+            tf_jit, decode)
+
+    out = {k: m.mean() for k, m in token_metrics.items() if m.count > 0}
+    # host-side (pixel) metrics are per-process means over equal shards
+    out.update(dist.aggregate_host_metrics(
+        {k: m.mean() for k, m in host_metrics.items() if m.count > 0}))
+    out["num_examples"] = token_metrics["loss"].count
+    if dist.is_primary():
+        logger.log({f"val/{domain}_{k}": v for k, v in out.items()})
+    logger.close()
+    print(json.dumps(out))
+    return out
+
+
+def _eval_loop(args, mesh, model, params, config, dataset, domain_id,
+               tf_jit, decode):
+    token_metrics = {k: AvgMetric() for k in
+                     ["loss", "perplexity", "acc", "gen_time"]}
+    host_metrics = {k: AvgMetric() for k in
+                    ["dec_time", "psnr", "ssim", "delta_psnr"]}
     key = jax.random.PRNGKey(args.seed)
+
+    total = round_batch(min(args.max_examples, len(dataset)), mesh)
+    B_full = round_batch(args.batch_size, mesh)
+    assert B_full > 0, (
+        f"--batch_size {args.batch_size} smaller than the data-parallel "
+        f"degree; raise it to a multiple of dp*fsdp*processes")
     n_done = 0
-    while n_done < min(args.max_examples, len(dataset)):
-        B = min(args.batch_size, min(args.max_examples, len(dataset)) - n_done)
-        items = [dataset[n_done + i] for i in range(B)]
-        tokens = jnp.asarray(np.stack([it["input_ids"] for it in items])
-                             .reshape(B, config.T, -1).astype(np.int32))
-        actions = None
+    while n_done < total:
+        B = min(B_full, total - n_done)
+        # this process's contiguous slice of the global batch
+        my_idx = dist.local_slice(np.arange(n_done, n_done + B))
+        items = [dataset[int(i)] for i in my_idx]
+        local = {"tokens": np.stack([it["input_ids"] for it in items])
+                 .reshape(len(items), config.T, -1).astype(np.int32)}
         if "action_ids" in items[0]:
-            actions = jnp.asarray(_pad_actions(
+            local["actions"] = _pad_actions(
                 np.stack([it["action_ids"] for it in items]).astype(np.float32),
-                config.max_d_action))
+                config.max_d_action)
+        gbatch = put_batch(local, mesh)
+        tokens = gbatch["tokens"]
+        actions = gbatch.get("actions")
 
         key, k_b = jax.random.split(key)
         t0 = time.time()
-        samples, logits = tf_jit(params, tokens, actions, domain_id, k_b)
-        samples = np.asarray(samples)
+        samples, tf = tf_jit(params, tokens, actions, domain_id, k_b)
+        tf = {k: float(v) for k, v in tf.items()}
         gen_time = (time.time() - t0) / (config.T - 1)
-        tf = teacher_forced_metrics(logits, tokens[:, 1:], config.factored_vocab_size)
         for k in ("loss", "perplexity", "acc"):
-            metrics[k].update(float(tf[k]), B)
-        metrics["gen_time"].update(gen_time, B)
+            token_metrics[k].update(tf[k], B)
+        token_metrics["gen_time"].update(gen_time, B)
 
         if decode is not None:
-            gt_frames = np.stack([np.asarray(tokens[:, 1:]).reshape(-1, config.h, config.w)])[0]
+            # decode on host, each process over its own shard
+            samples_l = local_rows(samples)
+            gt_l = local_rows(tokens)[:, 1:]
+            nloc = len(samples_l)
             t0 = time.time()
-            pred_px = decode(samples.reshape(-1, config.h, config.w))
-            dec_time = (time.time() - t0) / max(len(samples), 1)
-            gt_px = decode(gt_frames)
-            metrics["dec_time"].update(dec_time, B)
-            metrics["psnr"].update(float(np.mean(batch_psnr(pred_px, gt_px))), B)
-            metrics["ssim"].update(float(np.mean(batch_ssim(pred_px, gt_px))), B)
+            pred_px = decode(samples_l.reshape(-1, config.h, config.w))
+            dec_time = (time.time() - t0) / max(nloc, 1)
+            gt_px = decode(gt_l.reshape(-1, config.h, config.w))
+            host_metrics["dec_time"].update(dec_time, nloc)
+            gt_psnr = float(np.mean(batch_psnr(pred_px, gt_px)))
+            host_metrics["psnr"].update(gt_psnr, nloc)
+            host_metrics["ssim"].update(
+                float(np.mean(batch_ssim(pred_px, gt_px))), nloc)
 
             if actions is not None and args.num_action_trials > 0:
-                gt_psnr = np.mean(batch_psnr(pred_px, gt_px))
                 rand_psnrs = []
-                for trial in range(args.num_action_trials):
+                for _ in range(args.num_action_trials):
                     key, k_t, k_a = jax.random.split(key, 3)
                     rand_actions = actions + args.perturbation_scale * \
                         jax.random.normal(k_a, actions.shape)
                     s_r, _ = tf_jit(params, tokens, rand_actions, domain_id, k_t)
-                    px_r = decode(np.asarray(s_r).reshape(-1, config.h, config.w))
+                    px_r = decode(local_rows(s_r).reshape(-1, config.h, config.w))
                     rand_psnrs.append(np.mean(batch_psnr(px_r, gt_px)))
-                metrics["delta_psnr"].update(float(gt_psnr - np.mean(rand_psnrs)), B)
+                host_metrics["delta_psnr"].update(
+                    float(gt_psnr - np.mean(rand_psnrs)), nloc)
 
         n_done += B
-
-    out = {k: m.mean() for k, m in metrics.items() if m.count > 0}
-    out["num_examples"] = n_done
-    logger.log({f"val/{domain}_{k}": v for k, v in out.items()})
-    logger.close()
-    print(json.dumps(out))
-    return out
+    return token_metrics, host_metrics
 
 
 if __name__ == "__main__":

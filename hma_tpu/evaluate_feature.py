@@ -6,6 +6,12 @@ SURVEY.md §2.6): teacher-forced frame prediction over val latents with
 latent-space MSE, diffusion loss, and — when an SVD-VAE decode fn and the
 FVD/FID backbones are available — pixel metrics. FID/FVD hooks accept any
 callable embedding fn (hma_tpu.metrics.fid / fvd).
+
+Distributed: data-parallel over the device mesh and multi-process capable,
+like hma_tpu/evaluate.py (the reference ran under multi-GPU Accelerate,
+hma/evaluate.py:227,387-401). Latent MSE reduces inside jit; FID/FVD
+inputs are gathered across processes (small eval sets) so the statistics
+stay global.
 """
 
 from __future__ import annotations
@@ -23,6 +29,14 @@ from hma_tpu.config import DiffusionGenieConfig
 from hma_tpu.data.datasets import RawFeatureDataset
 from hma_tpu.metrics.token import AvgMetric
 from hma_tpu.models.st_mar import STMAR
+from hma_tpu.parallel import distributed as dist
+from hma_tpu.parallel.sharded_eval import (
+    local_rows,
+    put_batch,
+    round_batch,
+    setup_eval_mesh,
+    shard_params,
+)
 from hma_tpu.rollout.mar import generate_latents
 from hma_tpu.train.trainer import _pad_actions
 from hma_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, load_config_json
@@ -53,6 +67,10 @@ def parse_args(argv=None):
                    help="I3D variant for pixel FVD (paper used styleganv)")
     p.add_argument("--i3d_weights", type=str, default=None,
                    help="torch I3D state_dict for the chosen FVD backend")
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1)
+    p.add_argument("--use_wandb", action="store_true")
     return p.parse_args(argv)
 
 
@@ -97,7 +115,11 @@ def load_mar_model(checkpoint_dir: str):
 
 def main(argv=None):
     args = parse_args(argv)
+    dist.init_distributed()
+    mesh = setup_eval_mesh(fsdp=args.fsdp, tp=args.tp, sp=args.sp,
+                           batch_hint=args.batch_size)
     model, params, config = load_mar_model(args.checkpoint_dir)
+    params = shard_params(params, mesh)
     dataset = RawFeatureDataset(args.val_data_dir, window_size=config.T,
                                 use_actions=config.use_actions,
                                 domain=args.domain)
@@ -107,37 +129,54 @@ def main(argv=None):
         if config.action_domains and domain in config.action_domains else 0,
         jnp.int32)
 
-    gen_jit = jax.jit(lambda p, lat, act, dom, key: generate_latents(
-        model, p, lat, args.num_prompt_frames, act, dom, key,
-        maskgit_steps=args.maskgit_steps, temperature=args.temperature))
+    @jax.jit
+    def gen_jit(p, lat, act, dom, key):
+        out = generate_latents(
+            model, p, lat, args.num_prompt_frames, act, dom, key,
+            maskgit_steps=args.maskgit_steps, temperature=args.temperature)
+        # reduced inside jit -> replicated global-batch mean
+        mse = jnp.mean((out[:, args.num_prompt_frames:]
+                        - lat[:, args.num_prompt_frames:]) ** 2)
+        return out, mse
 
     logger = MetricLogger(args.output_dir, project="video_val",
-                          config=vars(args), use_wandb=False)
+                          config=vars(args),
+                          use_wandb=args.use_wandb and dist.is_primary())
     metrics = {k: AvgMetric() for k in ["latent_mse", "gen_time"]}
     key = jax.random.PRNGKey(args.seed)
     h = w = config.h
     C = config.vae_embed_dim
-    n_done = 0
-    while n_done < min(args.max_examples, len(dataset)):
-        B = min(args.batch_size, min(args.max_examples, len(dataset)) - n_done)
-        items = [dataset[n_done + i] for i in range(B)]
-        lat = jnp.asarray(np.stack([it["input_ids"] for it in items])
-                          .reshape(B, config.T, h, w, C).astype(np.float32))
-        actions = None
+
+    def load_global(lo, B, key):
+        my_idx = dist.local_slice(np.arange(lo, lo + B))
+        items = [dataset[int(i)] for i in my_idx]
+        local = {"lat": np.stack([it["input_ids"] for it in items])
+                 .reshape(len(items), config.T, h, w, C).astype(np.float32)}
         if "action_ids" in items[0]:
-            actions = jnp.asarray(_pad_actions(
+            local["actions"] = _pad_actions(
                 np.stack([it["action_ids"] for it in items]).astype(np.float32),
-                config.max_d_action))
-        key, k_b = jax.random.split(key)
-        t0 = time.time()
-        out = gen_jit(params, lat, actions, domain_id, k_b)
-        out = np.asarray(out)
-        gen_time = (time.time() - t0) / max(config.T - args.num_prompt_frames, 1)
-        mse = float(np.mean((out[:, args.num_prompt_frames:]
-                             - np.asarray(lat)[:, args.num_prompt_frames:]) ** 2))
-        metrics["latent_mse"].update(mse, B)
-        metrics["gen_time"].update(gen_time, B)
-        n_done += B
+                config.max_d_action)
+        g = put_batch(local, mesh)
+        return g["lat"], g.get("actions")
+
+    total = round_batch(min(args.max_examples, len(dataset)), mesh)
+    B_full = round_batch(args.batch_size, mesh)
+    assert B_full > 0, (
+        f"--batch_size {args.batch_size} smaller than the data-parallel "
+        f"degree; raise it to a multiple of dp*fsdp*processes")
+    n_done = 0
+    with mesh:
+        while n_done < total:
+            B = min(B_full, total - n_done)
+            key, k_b = jax.random.split(key)
+            lat, actions = load_global(n_done, B, k_b)
+            t0 = time.time()
+            out, mse = gen_jit(params, lat, actions, domain_id, k_b)
+            mse = float(mse)
+            gen_time = (time.time() - t0) / max(config.T - args.num_prompt_frames, 1)
+            metrics["latent_mse"].update(mse, B)
+            metrics["gen_time"].update(gen_time, B)
+            n_done += B
 
     result = {k: m.mean() for k, m in metrics.items() if m.count > 0}
     result["num_examples"] = n_done
@@ -147,20 +186,23 @@ def main(argv=None):
     # the same code path once decode weights are supplied.
     if args.compute_fvd or args.compute_fid:
         preds, gts = [], []
-        for i in range(0, min(args.max_examples, len(dataset)), args.batch_size):
-            B2 = min(args.batch_size, min(args.max_examples, len(dataset)) - i)
-            items = [dataset[i + j] for j in range(B2)]
-            lat = jnp.asarray(np.stack([it["input_ids"] for it in items])
-                              .reshape(B2, config.T, h, w, C).astype(np.float32))
-            acts = (jnp.asarray(_pad_actions(
-                np.stack([it["action_ids"] for it in items]).astype(np.float32),
-                config.max_d_action)) if "action_ids" in items[0] else None)
-            out = np.asarray(gen_jit(params, lat, acts, domain_id,
-                                     jax.random.PRNGKey(100 + i)))
-            preds.append(out)
-            gts.append(np.asarray(lat))
-        pred = np.concatenate(preds)
-        gt = np.concatenate(gts)
+        with mesh:
+            for i in range(0, total, B_full):
+                B2 = min(B_full, total - i)
+                lat, acts = load_global(i, B2, None)
+                out, _ = gen_jit(params, lat, acts, domain_id,
+                                 jax.random.PRNGKey(100 + i))
+                preds.append(local_rows(out))
+                gts.append(local_rows(lat))
+        pred = np.concatenate(preds) if preds else np.zeros((0, config.T, h, w, C))
+        gt = np.concatenate(gts) if gts else np.zeros((0, config.T, h, w, C))
+        if jax.process_count() > 1:
+            # small eval sets: gather every process's shard so the
+            # FID/FVD statistics stay global
+            from jax.experimental import multihost_utils
+
+            pred = np.concatenate(multihost_utils.process_allgather(pred))
+            gt = np.concatenate(multihost_utils.process_allgather(gt))
         if args.vae_checkpoint:
             # decode latents to pixels; FID/FVD on real frames
             # (reference: evaluate_diffusion.py:368-375)
@@ -195,7 +237,8 @@ def main(argv=None):
             from hma_tpu.metrics.fvd import calculate_fvd
 
             result["fvd_latent"] = calculate_fvd(pred, gt, embed_fn=flat_embed)
-    logger.log({f"val/{domain}_{k}": v for k, v in result.items()})
+    if dist.is_primary():
+        logger.log({f"val/{domain}_{k}": v for k, v in result.items()})
     logger.close()
     print(json.dumps(result))
     return result

@@ -1,9 +1,12 @@
 """Gradio arrow-key world-model demo (reference: sim/app.py).
 
-Loads a trained STMaskGIT checkpoint + MagVit2 tokenizer, builds a
-GenieSimulator, and maps direction buttons to 2-D delta actions
-(reference: sim/app.py:50-63). Gradio is optional in this image; the
-simulator itself is exercised by sim/main.py and tests without it.
+Loads a trained world model + its pixel codec, builds a GenieSimulator,
+and maps direction buttons to 2-D delta actions (reference:
+sim/app.py:50-63). Both backbones are supported: discrete STMaskGIT +
+MagVit2 decode, and continuous STMAR + SVD-VAE decode — the reference's
+shipped demo checkpoint is an STMAR langtable model (sim/app.py:10-34).
+Gradio is optional in this image; the simulator itself is exercised by
+sim/main.py and tests without it.
 """
 
 from __future__ import annotations
@@ -22,20 +25,76 @@ DIRECTION_ACTIONS = {
 }
 
 
-def build_simulator(checkpoint_dir: str, tokenizer_ckpt: str,
-                    domain: str = "language_table", prompt_horizon: int = 3):
-    from hma_tpu.generate import load_model
-    from hma_tpu.rollout.decode import make_token_decoder
-    from hma_tpu.sim.simulator import GenieSimulator
-    from hma_tpu.tokenizer.convert import load_magvit2_checkpoint
+def _is_continuous(checkpoint_dir: str) -> bool:
+    from pathlib import Path
 
-    model, params, config = load_model(checkpoint_dir)
-    decode = make_token_decoder(load_magvit2_checkpoint(tokenizer_ckpt))
+    from hma_tpu.config import DiffusionGenieConfig
+    from hma_tpu.utils.checkpoint import latest_checkpoint, load_config_json
+
+    ckpt = checkpoint_dir
+    if not (Path(ckpt) / "config.json").exists():
+        newest = latest_checkpoint(checkpoint_dir)
+        if newest:
+            ckpt = newest
+    return isinstance(load_config_json(ckpt), DiffusionGenieConfig)
+
+
+def _make_latent_decoder(vae_checkpoint: str):
+    """SVD temporal VAE pixel decode for the STMAR backbone
+    (reference: sim/simulator.py:233-372 decodes through the SVD VAE)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from hma_tpu.tokenizer.svd_vae import (
+        SVD_SCALE,
+        SVDTemporalVAE,
+        load_svd_vae_torch_weights,
+    )
+
+    params = load_svd_vae_torch_weights(
+        torch.load(vae_checkpoint, map_location="cpu"))
+    vae = SVDTemporalVAE()
+    decode = jax.jit(lambda z: vae.apply(params, z, method=SVDTemporalVAE.decode))
+
+    def decode_latents(lat_hwc: np.ndarray) -> np.ndarray:
+        z = jnp.asarray(np.clip(lat_hwc, -25.0, 25.0) / SVD_SCALE,
+                        jnp.float32)[None, None]
+        img = np.asarray(decode(z))[0, 0]
+        return np.clip((img + 1) * 127.5, 0, 255).astype(np.uint8)
+
+    return decode_latents
+
+
+def build_simulator(checkpoint_dir: str, tokenizer_ckpt: str,
+                    domain: str = "language_table", prompt_horizon: int = 3,
+                    backbone: str = "auto"):
+    """backbone: "auto" (detect from the checkpoint config), "stmaskgit",
+    or "stmar". For stmar, tokenizer_ckpt is the diffusers SVD-VAE torch
+    state_dict; for stmaskgit, the MagVit2 checkpoint."""
+    from hma_tpu.sim.simulator import GenieSimulator
+
+    if backbone == "auto":
+        backbone = "stmar" if _is_continuous(checkpoint_dir) else "stmaskgit"
+
+    if backbone == "stmar":
+        from hma_tpu.evaluate_feature import load_mar_model
+
+        model, params, config = load_mar_model(checkpoint_dir)
+        decode_kw = {"decode_latents": (_make_latent_decoder(tokenizer_ckpt)
+                                        if tokenizer_ckpt else None)}
+    else:
+        from hma_tpu.generate import load_model
+        from hma_tpu.rollout.decode import make_token_decoder
+        from hma_tpu.tokenizer.convert import load_magvit2_checkpoint
+
+        model, params, config = load_model(checkpoint_dir)
+        decode_kw = {"decode_tokens":
+                     make_token_decoder(load_magvit2_checkpoint(tokenizer_ckpt))}
     domain_id = (config.action_domains.index(domain)
                  if config.action_domains and domain in config.action_domains else 0)
     return GenieSimulator(model, params, domain_id=domain_id,
-                          prompt_horizon=prompt_horizon,
-                          decode_tokens=decode)
+                          prompt_horizon=prompt_horizon, **decode_kw)
 
 
 def launch_app(sim, share: bool = False):
@@ -59,10 +118,12 @@ def main(argv=None):
     p.add_argument("--tokenizer_ckpt", type=str, default="data/magvit2.ckpt")
     p.add_argument("--domain", type=str, default="language_table")
     p.add_argument("--prompt_horizon", type=int, default=3)
+    p.add_argument("--backbone", type=str, default="auto",
+                   choices=["auto", "stmaskgit", "stmar"])
     p.add_argument("--share", action="store_true")
     args = p.parse_args(argv)
     sim = build_simulator(args.checkpoint_dir, args.tokenizer_ckpt,
-                          args.domain, args.prompt_horizon)
+                          args.domain, args.prompt_horizon, args.backbone)
     launch_app(sim, args.share)
 
 

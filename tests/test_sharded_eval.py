@@ -1,0 +1,143 @@
+"""Sharded evaluation CLIs: multi-device run must match single-device.
+
+Covers VERDICT r2 item 4: hma_tpu/evaluate.py and evaluate_feature.py run
+data-parallel over the mesh (reference evaluates under multi-GPU
+Accelerate, hma/evaluate.py:227,387-401). On the virtual 8-CPU mesh the
+same eval must produce identical metrics whether the batch is sharded
+over 8 devices or run on one — the reduction happens inside jit, so any
+sharding bug shows up as a numeric diff.
+"""
+
+import json
+
+import numpy as np
+import pytest
+import yaml
+
+import hma_tpu.evaluate as evaluate_mod
+import hma_tpu.evaluate_feature as evalfeat_mod
+from hma_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def discrete_ckpt(tmp_path_factory):
+    from hma_tpu.config import GenieConfig
+    from hma_tpu.data.datasets import write_token_dataset
+    from hma_tpu.train.trainer import TrainArgs, run_training
+
+    tmp_path = tmp_path_factory.mktemp("sheval")
+    rng = np.random.default_rng(0)
+    domain = "language_table"
+    data = tmp_path / "data"
+    for split, n in [("train", 60), ("val", 40)]:
+        video = rng.integers(0, 2**18, size=(n, 4, 4)).astype(np.uint32)
+        segs = np.repeat(np.arange(n // 10), 10).astype(np.int32)
+        actions = rng.normal(size=(n, 2)).astype(np.float32)
+        write_token_dataset(data / f"{domain}_magvit_max1000000_{split}",
+                            video, segs, actions,
+                            {"name": domain, "vocab_size": 2**18, "s": 16})
+    cfg = GenieConfig(num_layers=1, num_heads=2, d_model=32, T=4, S=16,
+                      image_vocab_size=2**18, num_factored_vocabs=2,
+                      action_token_size=8, action_network="concat+modulate",
+                      num_prompt_frames=2, use_actions=True)
+    cfg.save_pretrained(str(tmp_path / "config.json"))
+    with open(tmp_path / "split.yaml", "w") as f:
+        yaml.safe_dump({"domains": domain}, f)
+    run_training(TrainArgs(
+        genie_config=str(tmp_path / "config.json"),
+        output_dir=str(tmp_path / "run"), train_split=str(tmp_path / "split.yaml"),
+        data_root=str(data), window_size=4, per_device_train_batch_size=1,
+        max_train_steps=2, eval_every_n_steps=100, checkpointing_steps="100",
+        num_warmup_steps=1, log_every=1))
+    return tmp_path, data, domain
+
+
+def _run_eval(tmp_path, data, domain, tag, force_single):
+    import unittest.mock as mock
+
+    argv = [
+        "--checkpoint_dir", str(tmp_path / "run"),
+        "--val_data_dir", str(data / f"{domain}_magvit_max1000000_val"),
+        "--output_dir", str(tmp_path / f"eval_{tag}"),
+        "--batch_size", "8", "--max_examples", "16", "--maskgit_steps", "2",
+    ]
+    if force_single:
+        with mock.patch.object(evaluate_mod, "setup_eval_mesh",
+                               lambda **kw: make_mesh(n_devices=1)):
+            return evaluate_mod.main(argv)
+    return evaluate_mod.main(argv)
+
+
+def test_evaluate_sharded_matches_single_device(discrete_ckpt):
+    tmp_path, data, domain = discrete_ckpt
+    multi = _run_eval(tmp_path, data, domain, "multi", force_single=False)
+    single = _run_eval(tmp_path, data, domain, "single", force_single=True)
+    assert multi["num_examples"] == single["num_examples"] == 16
+    for k in ("loss", "perplexity", "acc"):
+        np.testing.assert_allclose(multi[k], single[k], rtol=1e-5,
+                                   err_msg=k)
+    # metrics.jsonl written by the primary process
+    assert (tmp_path / "eval_multi" / "metrics.jsonl").is_file()
+
+
+@pytest.fixture(scope="module")
+def continuous_ckpt(tmp_path_factory):
+    from hma_tpu.config import DiffusionGenieConfig
+    from hma_tpu.data.datasets import write_token_dataset
+    from hma_tpu.train.trainer import TrainArgs, run_training
+
+    tmp_path = tmp_path_factory.mktemp("shevalc")
+    rng = np.random.default_rng(1)
+    domain = "language_table"
+    data = tmp_path / "data"
+    h = w = 4
+    C = 4
+    for split, n in [("train", 60), ("val", 40)]:
+        lat = rng.normal(size=(n, C, h, w)).astype(np.float16)
+        segs = np.repeat(np.arange(n // 10), 10).astype(np.int32)
+        actions = rng.normal(size=(n, 2)).astype(np.float32)
+        write_token_dataset(data / f"{domain}_vae_max1000000_{split}",
+                            lat, segs, actions,
+                            {"name": domain, "latent_channels": C})
+    cfg = DiffusionGenieConfig(
+        num_layers=1, num_heads=2, d_model=32, T=4, S=16,
+        image_vocab_size=2**18, num_factored_vocabs=2,
+        action_token_size=8, action_network="concat+modulate",
+        num_prompt_frames=2, use_actions=True, patch_size=2,
+        vae_embed_dim=C, diffloss_d=1, diffloss_w=32,
+        num_sampling_steps="3", maskgit_steps=2)
+    cfg.save_pretrained(str(tmp_path / "config.json"))
+    with open(tmp_path / "split.yaml", "w") as f:
+        yaml.safe_dump({"domains": domain}, f)
+    run_training(TrainArgs(
+        genie_config=str(tmp_path / "config.json"),
+        output_dir=str(tmp_path / "run"), train_split=str(tmp_path / "split.yaml"),
+        data_root=str(data), model_type="continuous", window_size=4,
+        per_device_train_batch_size=1, max_train_steps=2,
+        eval_every_n_steps=100, checkpointing_steps="100",
+        num_warmup_steps=1, log_every=1))
+    return tmp_path, data, domain
+
+
+def test_evaluate_feature_sharded_runs(continuous_ckpt):
+    tmp_path, data, domain = continuous_ckpt
+    out = evalfeat_mod.main([
+        "--checkpoint_dir", str(tmp_path / "run"),
+        "--val_data_dir", str(data / f"{domain}_vae_max1000000_val"),
+        "--output_dir", str(tmp_path / "evalf"),
+        "--batch_size", "8", "--max_examples", "8",
+        "--maskgit_steps", "2", "--num_prompt_frames", "2",
+    ])
+    assert np.isfinite(out["latent_mse"])
+    assert out["num_examples"] == 8
+
+
+def test_app_build_simulator_stmar(continuous_ckpt):
+    """sim/app.py wires the STMAR backbone (VERDICT r2 item 9; the
+    reference demo ships an STMAR langtable model, sim/app.py:25-34)."""
+    from hma_tpu.sim.app import build_simulator
+
+    tmp_path, data, domain = continuous_ckpt
+    sim = build_simulator(str(tmp_path / "run"), tokenizer_ckpt="",
+                          domain=domain)
+    assert sim.backbone == "stmar"
