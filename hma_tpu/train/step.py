@@ -69,10 +69,26 @@ def weight_decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
-def mup_matrix_mask(params) -> Any:
-    """True for matrix-like params (both dims grow with width) whose Adam
-    LR scales by 1/width_mult under muP (mup.MuAdamW semantics; the
-    reference pins base width 256, st_mask_git.py:755-760)."""
+def mup_matrix_mask(params, base_shapes=None) -> Any:
+    """True for matrix-like params — the ones whose Adam LR scales by
+    1/width_mult under muP (mup.MuAdamW; the reference pins base width
+    256, st_mask_git.py:755-760).
+
+    With `base_shapes` (a shape pytree of the same model at a *different*
+    width) this reproduces mup.set_base_shapes' infshape semantics
+    exactly: a dim is "infinite" iff it differs from the base shape, and
+    a param is matrix-like iff >= 2 of its dims are infinite. That
+    correctly classifies e.g. pos_embed_TSC / action_mask_tokens /
+    diffloss internals as vector-like (one or zero width-dependent dims)
+    and the STMaskGIT readout (d_model -> fixed factored vocab) as
+    vector-like, where any name/ndim heuristic misfires.
+    """
+    if base_shapes is not None:
+        shapes = jax.tree.map(lambda b: tuple(b.shape), base_shapes)
+        return jax.tree.map(
+            lambda leaf, bs: sum(int(a != b) for a, b in
+                                 zip(leaf.shape, bs)) >= 2,
+            params, shapes)
 
     def decide(path, leaf):
         names = [str(getattr(k, "key", k)) for k in path]
@@ -89,21 +105,40 @@ def make_optimizer(learning_rate, weight_decay: float = 0.01,
                    beta1: float = 0.9, beta2: float = 0.999,
                    eps: float = 1e-8, max_grad_norm: float = 1.0,
                    params_template=None,
-                   mup_width_mult: Optional[float] = None) -> optax.GradientTransformation:
+                   mup_width_mult: Optional[float] = None,
+                   mup_base_shapes=None) -> optax.GradientTransformation:
     """AdamW with decay masking; with `mup_width_mult` (= d_model /
-    base_d_model), matrix-like parameter updates are scaled by
-    1/width_mult — the MuAdamW rule that makes LR transfer across widths."""
+    base_d_model), matrix-like params take the MuAdamW rule
+    (mup/optim.py semantics): lr /= width_mult and weight_decay *=
+    width_mult, so the per-step decay lr*wd is width-invariant while the
+    Adam update shrinks 1/width. That's what makes one tuned LR transfer
+    across widths."""
     mask = weight_decay_mask(params_template) if params_template is not None else None
-    chain = [
+    if (mup_width_mult is None or mup_width_mult == 1.0
+            or params_template is None):
+        return optax.chain(
+            optax.clip_by_global_norm(max_grad_norm),
+            optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
+                        weight_decay=weight_decay, mask=mask))
+
+    mmask = mup_matrix_mask(params_template, mup_base_shapes)
+    labels = jax.tree.map(lambda m: "matrix" if m else "other", mmask)
+    if callable(learning_rate):
+        matrix_lr = lambda s: learning_rate(s) / mup_width_mult
+    else:
+        matrix_lr = learning_rate / mup_width_mult
+    return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
-                    weight_decay=weight_decay, mask=mask),
-    ]
-    if (mup_width_mult is not None and mup_width_mult != 1.0
-            and params_template is not None):
-        mmask = mup_matrix_mask(params_template)
-        chain.append(optax.masked(optax.scale(1.0 / mup_width_mult), mmask))
-    return optax.chain(*chain)
+        optax.multi_transform(
+            # matrix partition is all kernels -> decay applies everywhere;
+            # "other" gets the decay mask as a callable so it re-derives
+            # over the partitioned (MaskedNode-bearing) tree.
+            {"matrix": optax.adamw(matrix_lr, b1=beta1, b2=beta2, eps=eps,
+                                   weight_decay=weight_decay * mup_width_mult),
+             "other": optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
+                                  weight_decay=weight_decay,
+                                  mask=weight_decay_mask)},
+            labels))
 
 
 def make_train_step(model, tx: optax.GradientTransformation,

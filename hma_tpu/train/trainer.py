@@ -101,7 +101,7 @@ class TrainArgs:
     log_every: int = 10
     grad_checkpointing: bool = True  # remat STBlocks in the train step
     save_second_epoch: bool = False  # pin the epoch-1 checkpoint (never pruned)
-    use_native_loader: bool = False  # C++ prefetching loader (discrete only)
+    use_native_loader: bool = False  # C++ prefetching loader (both families)
     # MagVit2 VQ checkpoint: enables pixel-space in-training visualization
     # (PSNR/LPIPS rollout metrics, reference: train_multi.py:324-464)
     tokenizer_checkpoint: Optional[str] = None
@@ -270,16 +270,27 @@ def run_training(args: TrainArgs) -> dict:
     rng_np = np.random.default_rng(args.seed)
     assembler = BatchAssembler(train_sets, domains, config, args, rng_np, discrete)
     native_loaders = None
-    if args.use_native_loader and discrete and not args.overfit_first_batch:
-        from hma_tpu.data.native_loader import NativeTokenLoader
+    if args.use_native_loader and not args.overfit_first_batch:
+        if discrete:
+            from hma_tpu.data.native_loader import NativeTokenLoader
 
-        fmt = "{root}/{domain}_magvit_max1000000_train"
-        native_loaders = [
-            NativeTokenLoader(fmt.format(root=args.data_root, domain=d),
-                              config, batch_size=effective_batch,
-                              seed=args.seed + i,
-                              action_width=config.max_d_action)
-            for i, d in enumerate(domains)]
+            fmt = "{root}/{domain}_magvit_max1000000_train"
+            native_loaders = [
+                NativeTokenLoader(fmt.format(root=args.data_root, domain=d),
+                                  config, batch_size=effective_batch,
+                                  seed=args.seed + i,
+                                  action_width=config.max_d_action)
+                for i, d in enumerate(domains)]
+        else:
+            from hma_tpu.data.native_loader import NativeFeatureLoader
+
+            fmt = "{root}/{domain}_vae_max1000000_train"
+            native_loaders = [
+                NativeFeatureLoader(fmt.format(root=args.data_root, domain=d),
+                                    config, batch_size=effective_batch,
+                                    seed=args.seed + i,
+                                    action_width=config.max_d_action)
+                for i, d in enumerate(domains)]
     val_assembler = BatchAssembler(val_sets, domains, config, args,
                                    np.random.default_rng(0), discrete)
 
@@ -295,9 +306,26 @@ def run_training(args: TrainArgs) -> dict:
                         *([dev_batch0["masked_tokens_indicator"]] if not discrete else []))
 
     mup_mult = (config.d_model / 256.0) if args.mu_transfer else None
+    mup_base_shapes = None
+    if mup_mult is not None and mup_mult != 1.0:
+        # mup.set_base_shapes semantics: infshapes come from diffing this
+        # model against the same model at another width (head_dim halved);
+        # eval_shape => no FLOPs (reference: st_mask_git.py:755-760).
+        import dataclasses as _dc
+
+        head_dim = config.d_model // config.num_heads
+        base_cfg = _dc.replace(config,
+                               d_model=config.num_heads * max(head_dim // 2, 1))
+        base_model = make_model(args, base_cfg)
+        mup_base_shapes = jax.eval_shape(
+            base_model.init, init_rngs, dev_batch0["input_ids"],
+            dev_batch0["labels"], dev_batch0.get("action_ids"),
+            dev_batch0["domain_id"],
+            *([dev_batch0["masked_tokens_indicator"]] if not discrete else []))
     tx = make_optimizer(schedule, args.weight_decay, args.adam_beta_1,
                         args.adam_beta_2, args.adam_eps, args.max_grad_norm,
-                        params_template=params, mup_width_mult=mup_mult)
+                        params_template=params, mup_width_mult=mup_mult,
+                        mup_base_shapes=mup_base_shapes)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
