@@ -56,6 +56,70 @@ struct Batch {
   std::vector<float> actions;      // B * T * action_width (may be empty)
 };
 
+// fp16 -> fp32 (portable bit-twiddle; the latent files are float16)
+inline float half_to_float(uint16_t h) {
+  uint32_t sign = (uint32_t)(h >> 15) << 31;
+  uint32_t exp = (h >> 10) & 0x1f;
+  uint32_t man = h & 0x3ff;
+  uint32_t bits;
+  if (exp == 0) {
+    if (man == 0) {
+      bits = sign;
+    } else {  // subnormal: renormalize
+      int shift = 0;
+      while (!(man & 0x400)) { man <<= 1; ++shift; }
+      man &= 0x3ff;
+      bits = sign | ((127 - 15 - shift + 1) << 23) | (man << 13);
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7f800000 | (man << 13);  // inf / nan
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+
+template <typename T>
+class BoundedQueue {
+ public:
+  explicit BoundedQueue(int depth) : depth_(depth) {}
+  void stop() {
+    stop_.store(true);
+    cv_pop_.notify_all();
+    cv_push_.notify_all();
+  }
+  bool stopped() const { return stop_.load(); }
+  // returns false if stopped before a slot freed
+  bool push(T&& item) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_push_.wait(lk, [this] { return (int)q_.size() < depth_ || stop_.load(); });
+    if (stop_.load()) return false;
+    q_.push_back(std::move(item));
+    lk.unlock();
+    cv_pop_.notify_one();
+    return true;
+  }
+  bool pop(T* out) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_pop_.wait(lk, [this] { return !q_.empty() || stop_.load(); });
+    if (q_.empty()) return false;
+    *out = std::move(q_.front());
+    q_.pop_front();
+    lk.unlock();
+    cv_push_.notify_one();
+    return true;
+  }
+
+ private:
+  int depth_;
+  std::deque<T> q_;
+  std::mutex mu_;
+  std::condition_variable cv_pop_, cv_push_;
+  std::atomic<bool> stop_{false};
+};
+
 struct LoaderConfig {
   int64_t num_images;
   int h, w;
@@ -83,22 +147,19 @@ class Loader {
  public:
   Loader(const LoaderConfig& cfg, const char* video_path,
          const char* seg_path, const char* actions_path)
-      : cfg_(cfg) {
+      : cfg_(cfg), queue_(cfg.queue_depth) {
     ok_ = video_.open(video_path);
     if (seg_path && seg_path[0]) has_segs_ = segs_.open(seg_path);
     if (actions_path && actions_path[0]) has_actions_ = acts_.open(actions_path);
     if (!ok_) return;
     build_valid_starts();
     if (valid_starts_.empty()) { ok_ = false; return; }
-    stop_.store(false);
     for (int i = 0; i < cfg_.num_threads; ++i)
       workers_.emplace_back([this, i] { worker(i); });
   }
 
   ~Loader() {
-    stop_.store(true);
-    cv_pop_.notify_all();
-    cv_push_.notify_all();
+    queue_.stop();
     for (auto& t : workers_) t.join();
   }
 
@@ -106,13 +167,8 @@ class Loader {
   int64_t num_windows() const { return (int64_t)valid_starts_.size(); }
 
   bool next(int32_t* input_ids, int32_t* labels, float* actions) {
-    std::unique_lock<std::mutex> lk(mu_);
-    cv_pop_.wait(lk, [this] { return !queue_.empty() || stop_.load(); });
-    if (queue_.empty()) return false;
-    Batch b = std::move(queue_.front());
-    queue_.pop_front();
-    lk.unlock();
-    cv_push_.notify_one();
+    Batch b;
+    if (!queue_.pop(&b)) return false;
     std::memcpy(input_ids, b.input_ids.data(), b.input_ids.size() * 4);
     std::memcpy(labels, b.labels.data(), b.labels.size() * 4);
     if (actions && !b.actions.empty())
@@ -226,17 +282,10 @@ class Loader {
 
   void worker(int idx) {
     std::mt19937_64 rng(cfg_.seed * 1000003u + idx);
-    while (!stop_.load()) {
+    while (!queue_.stopped()) {
       Batch b;
       collate(rng, &b);
-      std::unique_lock<std::mutex> lk(mu_);
-      cv_push_.wait(lk, [this] {
-        return (int)queue_.size() < cfg_.queue_depth || stop_.load();
-      });
-      if (stop_.load()) return;
-      queue_.push_back(std::move(b));
-      lk.unlock();
-      cv_pop_.notify_one();
+      if (!queue_.push(std::move(b))) return;
     }
   }
 
@@ -245,10 +294,164 @@ class Loader {
   bool ok_ = false, has_segs_ = false, has_actions_ = false;
   std::vector<int64_t> valid_starts_;
   std::vector<std::thread> workers_;
-  std::deque<Batch> queue_;
-  std::mutex mu_;
-  std::condition_variable cv_pop_, cv_push_;
-  std::atomic<bool> stop_{true};
+  BoundedQueue<Batch> queue_;
+};
+
+// ---------------------------------------------------------------------------
+// Continuous (feature/latent) loader: float16 (N, C, h, w) VAE latents ->
+// (B, T, h, w, C) float32 x scale windows + masked_tokens_indicator,
+// mirroring get_maskgit_collator_feature (reference: hma/data.py:103-157)
+// and RawFeatureDataset's on-read SVD_SCALE multiply (hma/data.py:298-435).
+// Masked positions are NOT substituted here — STMAR swaps in its learned
+// latent mask token inside the model (hma_tpu/models/st_mar.py __call__).
+// ---------------------------------------------------------------------------
+
+struct FeatureBatch {
+  std::vector<float> latents;   // B * T * h * w * C
+  std::vector<float> labels;    // B * T * h * w * C
+  std::vector<int32_t> mask;    // B * T * h * w
+  std::vector<float> actions;   // B * T * action_width (may be empty)
+};
+
+struct FeatureConfig {
+  int64_t num_images;
+  int c, h, w;
+  int window_size;  // T
+  int stride;
+  int batch_size;
+  int action_dim;
+  int action_width;
+  double non_mlm_ratio;
+  int num_prompt_frames;
+  double mask_ratio_min;
+  int apply_mask;
+  double scale;  // SVD_SCALE
+  uint64_t seed;
+  int num_threads;
+  int queue_depth;
+};
+
+class FeatureLoader {
+ public:
+  FeatureLoader(const FeatureConfig& cfg, const char* video_path,
+                const char* seg_path, const char* actions_path)
+      : cfg_(cfg), queue_(cfg.queue_depth) {
+    ok_ = video_.open(video_path);
+    if (seg_path && seg_path[0]) has_segs_ = segs_.open(seg_path);
+    if (actions_path && actions_path[0]) has_actions_ = acts_.open(actions_path);
+    if (!ok_) return;
+    int64_t video_len = (int64_t)(cfg_.window_size - 1) * cfg_.stride;
+    int64_t n = cfg_.num_images - video_len - cfg_.stride;
+    for (int64_t s = 0; s < n; ++s) {
+      if (has_segs_ && segs()[s] != segs()[s + video_len]) continue;
+      valid_starts_.push_back(s);
+    }
+    if (valid_starts_.empty()) { ok_ = false; return; }
+    for (int i = 0; i < cfg_.num_threads; ++i)
+      workers_.emplace_back([this, i] { worker(i); });
+  }
+
+  ~FeatureLoader() {
+    queue_.stop();
+    for (auto& t : workers_) t.join();
+  }
+
+  bool ok() const { return ok_; }
+  int64_t num_windows() const { return (int64_t)valid_starts_.size(); }
+
+  bool next(float* latents, float* labels, int32_t* mask, float* actions) {
+    FeatureBatch b;
+    if (!queue_.pop(&b)) return false;
+    std::memcpy(latents, b.latents.data(), b.latents.size() * 4);
+    std::memcpy(labels, b.labels.data(), b.labels.size() * 4);
+    std::memcpy(mask, b.mask.data(), b.mask.size() * 4);
+    if (actions && !b.actions.empty())
+      std::memcpy(actions, b.actions.data(), b.actions.size() * 4);
+    return true;
+  }
+
+ private:
+  const uint16_t* video() const { return (const uint16_t*)video_.data; }
+  const int32_t* segs() const { return (const int32_t*)segs_.data; }
+  const float* acts() const { return (const float*)acts_.data; }
+
+  void collate(std::mt19937_64& rng, FeatureBatch* out) {
+    const int T = cfg_.window_size, H = cfg_.h, W = cfg_.w, C = cfg_.c;
+    const int B = cfg_.batch_size, S = H * W;
+    std::uniform_real_distribution<double> uni(0.0, 1.0);
+    std::uniform_int_distribution<int64_t> pick(0, (int64_t)valid_starts_.size() - 1);
+    const float scale = (float)cfg_.scale;
+
+    out->latents.resize((size_t)B * T * S * C);
+    out->labels.resize((size_t)B * T * S * C);
+    out->mask.assign((size_t)B * T * S, 0);
+    if (has_actions_ && cfg_.action_width > 0)
+      out->actions.assign((size_t)B * T * cfg_.action_width, 0.f);
+
+    for (int b = 0; b < B; ++b) {
+      int64_t start = valid_starts_[pick(rng)];
+      for (int t = 0; t < T; ++t) {
+        int64_t frame = start + (int64_t)t * cfg_.stride;
+        // file layout (C, h, w) fp16 -> batch layout (h, w, C) fp32*scale
+        const uint16_t* src = video() + frame * (int64_t)C * S;
+        float* dst = out->latents.data() + (((size_t)b * T + t) * S) * C;
+        for (int c = 0; c < C; ++c)
+          for (int s = 0; s < S; ++s)
+            dst[s * C + c] = half_to_float(src[c * S + s]) * scale;
+        if (has_actions_ && cfg_.action_width > 0) {
+          float* adst = out->actions.data() +
+                        ((size_t)b * T + t) * cfg_.action_width;
+          for (int j = 0; j < cfg_.stride; ++j) {
+            const float* a = acts() + (frame + j) * cfg_.action_dim;
+            std::memcpy(adst + j * cfg_.action_dim, a, cfg_.action_dim * 4);
+          }
+        }
+      }
+    }
+    std::memcpy(out->labels.data(), out->latents.data(),
+                out->latents.size() * 4);
+
+    if (!cfg_.apply_mask) return;
+    // non-MLM prefix branch then cosine-scheduled per-frame masking with
+    // a mask_ratio_min floor; retry until >= 1 position masked
+    // (reference: hma/data.py:120-143)
+    int first_masked_frame = 1;
+    if (uni(rng) < cfg_.non_mlm_ratio) {
+      int lo = std::min(cfg_.num_prompt_frames, T - 1);
+      std::uniform_int_distribution<int> fr(lo, T - 1);
+      first_masked_frame = fr(rng);
+    }
+    bool any = false;
+    while (!any) {
+      for (int b = 0; b < B; ++b) {
+        for (int t = first_masked_frame; t < T; ++t) {
+          double u = uni(rng) * (1.0 - cfg_.mask_ratio_min) + cfg_.mask_ratio_min;
+          double p = std::cos(u * kPi / 2);
+          int32_t* m = out->mask.data() + ((size_t)b * T + t) * S;
+          for (int s = 0; s < S; ++s) {
+            m[s] = uni(rng) < p ? 1 : 0;
+            any |= (m[s] != 0);
+          }
+        }
+      }
+    }
+  }
+
+  void worker(int idx) {
+    std::mt19937_64 rng(cfg_.seed * 1000003u + idx);
+    while (!queue_.stopped()) {
+      FeatureBatch b;
+      collate(rng, &b);
+      if (!queue_.push(std::move(b))) return;
+    }
+  }
+
+  FeatureConfig cfg_;
+  Mmap video_, segs_, acts_;
+  bool ok_ = false, has_segs_ = false, has_actions_ = false;
+  std::vector<int64_t> valid_starts_;
+  std::vector<std::thread> workers_;
+  BoundedQueue<FeatureBatch> queue_;
 };
 
 }  // namespace
@@ -285,5 +488,32 @@ int hma_loader_next(void* handle, int32_t* input_ids, int32_t* labels,
 }
 
 void hma_loader_destroy(void* handle) { delete (Loader*)handle; }
+
+void* hma_floader_create(const char* video_path, const char* seg_path,
+                         const char* actions_path, int64_t num_images, int c,
+                         int h, int w, int window_size, int stride,
+                         int batch_size, int action_dim, int action_width,
+                         double non_mlm_ratio, int num_prompt_frames,
+                         double mask_ratio_min, int apply_mask, double scale,
+                         uint64_t seed, int num_threads, int queue_depth) {
+  FeatureConfig cfg{num_images, c, h, w, window_size, stride, batch_size,
+                    action_dim, action_width, non_mlm_ratio,
+                    num_prompt_frames, mask_ratio_min, apply_mask, scale,
+                    seed, num_threads, queue_depth};
+  auto* loader = new FeatureLoader(cfg, video_path, seg_path, actions_path);
+  if (!loader->ok()) { delete loader; return nullptr; }
+  return loader;
+}
+
+int64_t hma_floader_num_windows(void* handle) {
+  return ((FeatureLoader*)handle)->num_windows();
+}
+
+int hma_floader_next(void* handle, float* latents, float* labels,
+                     int32_t* mask, float* actions) {
+  return ((FeatureLoader*)handle)->next(latents, labels, mask, actions) ? 1 : 0;
+}
+
+void hma_floader_destroy(void* handle) { delete (FeatureLoader*)handle; }
 
 }  // extern "C"

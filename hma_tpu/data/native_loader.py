@@ -59,6 +59,24 @@ def _load_library():
     lib.hma_loader_num_windows.restype = ctypes.c_int64
     lib.hma_loader_num_windows.argtypes = [ctypes.c_void_p]
     lib.hma_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.hma_floader_create.restype = ctypes.c_void_p
+    lib.hma_floader_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double, ctypes.c_uint64, ctypes.c_int,
+        ctypes.c_int]
+    lib.hma_floader_next.restype = ctypes.c_int
+    lib.hma_floader_next.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_void_p]
+    lib.hma_floader_num_windows.restype = ctypes.c_int64
+    lib.hma_floader_num_windows.argtypes = [ctypes.c_void_p]
+    lib.hma_floader_destroy.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -135,6 +153,93 @@ class NativeTokenLoader:
     def close(self):
         if getattr(self, "_handle", None):
             self._lib.hma_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeFeatureLoader:
+    """Prefetching continuous-latent batch loader (STMAR training feed).
+
+    Yields dicts matching maskgit_collate_feature's contract:
+    input_ids/labels (B, T, h, w, C) f32 x SVD_SCALE +
+    masked_tokens_indicator (B, T, h, w) int32
+    [+ action_ids (B, T, width) f32]. fp16 decode, windowing, and the
+    cosine mask schedule all run in C++ prefetch threads
+    (reference collator: hma/data.py:103-157; dataset: hma/data.py:298-435).
+    """
+
+    def __init__(self, data_dir: str, config, batch_size: int, *,
+                 stride: Optional[int] = None, seed: int = 0,
+                 num_threads: int = 2, queue_depth: int = 4,
+                 action_width: Optional[int] = None):
+        from hma_tpu.tokenizer.svd_vae import SVD_SCALE
+
+        lib = _load_library()
+        data_dir = Path(data_dir)
+        meta = json.loads((data_dir / "metadata.json").read_text())
+        self.meta = meta
+        self.config = config
+        self.B = batch_size
+        self.T = config.T
+        self.h, self.w = meta["h"], meta["w"]
+        self.C = meta.get("latent_channels", 4)
+        if stride is None:
+            from hma_tpu.data.freq_table import DATA_FREQ_TABLE
+
+            stride = max(DATA_FREQ_TABLE.get(meta.get("name", ""), 1) // 2, 1)
+        self.stride = stride
+        action_dim = meta.get("action_dim", 0)
+        actions_path = data_dir / "actions" / "actions.bin"
+        has_actions = actions_path.exists() and config.use_actions
+        self.action_width = (action_width if action_width is not None
+                             else action_dim * stride) if has_actions else 0
+
+        self._handle = lib.hma_floader_create(
+            str(data_dir / "video.bin").encode(),
+            str(data_dir / "segment_ids.bin").encode(),
+            str(actions_path).encode() if has_actions else b"",
+            meta["num_images"], self.C, self.h, self.w, self.T, stride,
+            batch_size, action_dim if has_actions else 0, self.action_width,
+            config.non_mlm_ratio, config.num_prompt_frames,
+            config.dataloader_mask_ratio_min,
+            int(config.dataloader_apply_mask), float(SVD_SCALE),
+            seed, num_threads, queue_depth)
+        if not self._handle:
+            raise RuntimeError(f"failed to open dataset at {data_dir}")
+        self._lib = lib
+
+    def num_windows(self) -> int:
+        return int(self._lib.hma_floader_num_windows(self._handle))
+
+    def next_batch(self) -> dict:
+        lat = np.empty((self.B, self.T, self.h, self.w, self.C), np.float32)
+        lab = np.empty((self.B, self.T, self.h, self.w, self.C), np.float32)
+        mask = np.empty((self.B, self.T, self.h, self.w), np.int32)
+        act = (np.empty((self.B, self.T, self.action_width), np.float32)
+               if self.action_width else None)
+        ok = self._lib.hma_floader_next(
+            self._handle, lat, lab, mask,
+            act.ctypes.data_as(ctypes.c_void_p) if act is not None else None)
+        if not ok:
+            raise StopIteration
+        out = {"input_ids": lat, "labels": lab,
+               "masked_tokens_indicator": mask}
+        if act is not None:
+            out["action_ids"] = act
+        return out
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.hma_floader_destroy(self._handle)
             self._handle = None
 
     def __del__(self):

@@ -100,3 +100,84 @@ def test_native_loader_throughput(dataset_dir):
     bps = n / dt
     assert bps > 50, f"native loader too slow: {bps:.1f} batches/s"
     loader.close()
+
+
+@pytest.fixture(scope="module")
+def feature_dataset_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nativef") / "ds"
+    rng = np.random.default_rng(3)
+    N, C, h, w = 200, 4, 4, 4
+    lat = (rng.normal(size=(N, C, h, w)) * 2).astype(np.float16)
+    segs = np.repeat(np.arange(N // 20), 20).astype(np.int32)
+    actions = rng.normal(size=(N, 3)).astype(np.float32)
+    write_token_dataset(d, lat, segs, actions,
+                        {"name": "language_table", "latent_channels": C})
+    return d, lat, segs, actions
+
+
+def test_native_feature_loader_batches(feature_dataset_dir):
+    """Continuous loader: shapes, fp16 decode x SVD_SCALE, action packing."""
+    from hma_tpu.data.native_loader import NativeFeatureLoader
+    from hma_tpu.tokenizer.svd_vae import SVD_SCALE
+
+    d, lat, segs, actions = feature_dataset_dir
+    cfg = make_config()
+    loader = NativeFeatureLoader(str(d), cfg, batch_size=8, stride=1, seed=1)
+    assert loader.num_windows() > 0
+    batch = loader.next_batch()
+    assert batch["input_ids"].shape == (8, 4, 4, 4, 4)
+    assert batch["labels"].shape == (8, 4, 4, 4, 4)
+    assert batch["masked_tokens_indicator"].shape == (8, 4, 4, 4)
+    assert batch["action_ids"].shape == (8, 4, 3)
+    # input latents are untouched (masking happens in-model via indicator)
+    np.testing.assert_array_equal(batch["input_ids"], batch["labels"])
+
+    # frame 0 never masked; something is masked
+    m = batch["masked_tokens_indicator"]
+    assert (m[:, 0] == 0).all() and (m == 1).any()
+    assert set(np.unique(m)) <= {0, 1}
+
+    # fp16 -> fp32 conversion must match numpy exactly, incl. SVD_SCALE
+    # ((N,C,h,w) file layout -> (h,w,C) batch layout)
+    ref = (lat.astype(np.float32) * SVD_SCALE).transpose(0, 2, 3, 1)
+    frame0 = batch["labels"][0, 0]
+    found = any(np.array_equal(ref[n], frame0) for n in range(len(ref)))
+    assert found
+    loader.close()
+
+
+def test_native_feature_loader_mask_statistics(feature_dataset_dir):
+    """Per-frame masked fraction ~ E[cos(pi/2 * (min + u(1-min)))]
+    (the mask_ratio_min-floored cosine schedule, hma/data.py:120-143)."""
+    from hma_tpu.data.native_loader import NativeFeatureLoader
+
+    d, *_ = feature_dataset_dir
+    cfg = make_config(non_mlm_ratio=0.0, dataloader_mask_ratio_min=0.1)
+    loader = NativeFeatureLoader(str(d), cfg, batch_size=8, stride=1, seed=2)
+    fracs = []
+    for _ in range(60):
+        b = loader.next_batch()
+        fracs.append(b["masked_tokens_indicator"][:, 1:].mean())
+    mn = 0.1
+    import math
+    expected = (2 / math.pi) * (1 - math.sin(mn * math.pi / 2)) / (1 - mn)
+    assert abs(np.mean(fracs) - expected) < 0.06, (np.mean(fracs), expected)
+    loader.close()
+
+
+def test_native_feature_loader_throughput(feature_dataset_dir):
+    """The C++ path must beat per-item Python collation comfortably."""
+    from hma_tpu.data.native_loader import NativeFeatureLoader
+
+    d, *_ = feature_dataset_dir
+    cfg = make_config()
+    loader = NativeFeatureLoader(str(d), cfg, batch_size=16, stride=1,
+                                 seed=3, num_threads=1)
+    loader.next_batch()  # warm
+    t0 = time.time()
+    n = 30
+    for _ in range(n):
+        loader.next_batch()
+    dt = time.time() - t0
+    loader.close()
+    assert dt / n < 0.1, f"{dt / n * 1e3:.1f} ms/batch"
