@@ -55,18 +55,15 @@ def _sample_factored(logits_SNF: jax.Array, key: jax.Array, temperature: float,
 
 
 def _mask_lowest(conf: jax.Array, n) -> jax.Array:
-    """Boolean (B, S) mask selecting the n smallest-confidence entries.
-
-    n may be a traced scalar (selection is threshold-based, assuming no
-    ties — confidences are products of softmax probs or fresh uniforms,
-    which are tie-free almost surely).
+    """Boolean (B, S) mask selecting EXACTLY the n smallest-confidence
+    entries, ties broken by index (stable rank), so saturated softmaxes
+    with exact ties cannot over-mask — preserving the bit-exactness
+    contract. n may be a traced scalar (rank compare, no boolean shapes).
     """
-    B, S = conf.shape
     n = jnp.asarray(n, jnp.int32)
-    sorted_conf = jnp.sort(conf, axis=1)
-    idx = jnp.clip(n - 1, 0, S - 1)
-    thr = jnp.take_along_axis(sorted_conf, jnp.full((B, 1), idx), axis=1)
-    return jnp.where(n > 0, conf <= thr, False)
+    order = jnp.argsort(conf, axis=1, stable=True)
+    ranks = jnp.argsort(order, axis=1, stable=True)
+    return ranks < n
 
 
 def _maskgit_refine(model: STMaskGIT, params, tokens_t, t, k_cache, v_cache,
