@@ -32,6 +32,12 @@ VARIANTS = {
     "noremat_donate_b8": (False, "full", True, 8),
     "full_donate_b16": (True, "full", True, 16),
     "full_donate_b32": (True, "full", True, 32),
+    # round 3 (reference-exact qk_norm=false card): B=16/32 LOST to B=8
+    # (168.4 / 155.5 vs 181.2 TFLOP/s). "attn" saves the
+    # checkpoint_name-tagged attention outputs; clean bake-off at B=8 was
+    # a wash (179.5 vs 181.2) so "full" stays the trainer default.
+    "attn_donate_b8": (True, "attn", True, 8),
+    "attn_donate_b16": (True, "attn", True, 16),
 }
 
 
@@ -155,6 +161,77 @@ def run_variant(name, remat, policy, donate, B):
         f.write(json.dumps(rec) + "\n")
 
 
+def run_sliced(B=8):
+    """Flagship step with the DomainSlicedOptimizer (trainer default):
+    Adam touches only the active domain's slice of the 339.7M stacked
+    params instead of all 40 domains."""
+    import copy
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hma_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _flagship_config
+    from hma_tpu.models.st_mask_git import STMaskGIT
+    from hma_tpu.train.step import (
+        TrainState, domain_stacked_mask, make_domain_sliced_optimizer,
+        make_train_step)
+
+    cfg = _flagship_config(num_domains=40)
+    model = STMaskGIT(cfg, remat=True, remat_policy="full")
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, cfg.image_vocab_size, (B, cfg.T, cfg.S)), jnp.int32)
+    actions = jnp.asarray(rng.normal(size=(B, cfg.T, cfg.max_d_action)), jnp.float32)
+    domain_id = jnp.asarray(0, jnp.int32)
+    inp = np.asarray(tokens).copy()
+    inp[:, 1:, : cfg.S // 2] = cfg.image_vocab_size
+    batch = {"input_ids": jnp.asarray(inp), "labels": tokens,
+             "action_ids": actions, "domain_id": domain_id}
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        tokens, tokens, actions, domain_id)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+    alt = copy.deepcopy(cfg)
+    alt.action_domains = list(cfg.action_domains) + ["__probe__"]
+    alt.d_actions = list(cfg.d_actions) + [cfg.d_actions[-1]]
+    alt.action_stats = list(cfg.action_stats) + [cfg.action_stats[-1]]
+    alt.__post_init__()
+    other = jax.eval_shape(
+        STMaskGIT(alt, remat=True).init, {"params": jax.random.PRNGKey(0)},
+        tokens, tokens, actions, domain_id)
+    tx = make_domain_sliced_optimizer(
+        1e-4, params_template=params,
+        stacked_mask=domain_stacked_mask(params, other),
+        num_domains=cfg.num_domains)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+
+    def force(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    t_c0 = time.perf_counter()
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    force(state.params["params"]["pos_embed_TSC"])
+    compile_s = time.perf_counter() - t_c0
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+    force(state.params["params"]["pos_embed_TSC"])
+    dt = (time.perf_counter() - t0) / iters
+    toks = B * cfg.T * cfg.S
+    rec = {"variant": f"sliced_donate_b{B}", "step_s": round(dt, 4),
+           "tokens_per_sec": round(toks / dt),
+           "model_tflops_per_sec": round(6 * n_params * toks / dt / 1e12, 1),
+           "params_M": round(n_params / 1e6, 1),
+           "compile_s": round(compile_s, 1)}
+    print(json.dumps(rec), flush=True)
+    with open("/tmp/mfu_probe.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
 def run_decompose(B=8, remat=True, policy="dots"):
     """Time fwd-only, fwd+bwd, and the full step to locate the cost."""
     import jax
@@ -236,6 +313,9 @@ def main():
         return
     if sys.argv[1:2] == ["scan"]:
         run_scan_steps(B=int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+        return
+    if sys.argv[1:2] == ["sliced"]:
+        run_sliced(B=int(sys.argv[2]) if len(sys.argv) > 2 else 8)
         return
     names = sys.argv[1:] or list(VARIANTS)
     if len(names) == 1 and names[0] in VARIANTS:

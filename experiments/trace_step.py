@@ -71,6 +71,8 @@ def parse():
     by_name = collections.Counter()
     bytes_by_src = collections.Counter()
     total = 0.0
+    flops = 0
+    bytes_total = 0
     for e in ev:
         if e.get("ph") != "X" or "TPU" not in str(pids.get(e["pid"], "")):
             continue
@@ -86,8 +88,22 @@ def parse():
         by_src[(cat, src)] += dur
         by_name[e["name"].rstrip("0123456789.")] += dur
         bytes_by_src[(cat, src)] += int(args.get("bytes_accessed", 0))
+        flops += int(float(args.get("model_flops", 0) or 0))
+        bytes_total += int(args.get("bytes_accessed", 0))
     n_steps = 2
     print(f"total device us per step: {total / n_steps:.0f}")
+    # Roofline accounting from XLA's own op annotations (v5e: 197 TFLOP/s
+    # bf16 MXU peak, 819 GB/s HBM). "real" = FLOPs XLA actually executes
+    # (incl. remat recompute), vs the 6·N·tokens "model" convention.
+    sec = total / n_steps / 1e6
+    rf = flops / n_steps
+    rb = bytes_total / n_steps
+    print(f"real executed: {rf / 1e12:.2f} TFLOP/step, {rb / 1e9:.1f} GB/step")
+    print(f"real-FLOP rate {rf / sec / 1e12:.1f} TFLOP/s = "
+          f"{rf / sec / 197e12 * 100:.1f}% of v5e bf16 peak; "
+          f"HBM {rb / sec / 1e9:.0f} GB/s = {rb / sec / 819e9 * 100:.1f}% of peak; "
+          f"lower bounds: compute {rf / 197e12 * 1e3:.0f} ms, "
+          f"HBM {rb / 819e9 * 1e3:.0f} ms")
     print("\n-- by category (ms/step) --")
     for k, v in by_cat.most_common(15):
         print(f"{v / n_steps / 1e3:8.2f}  {k}")

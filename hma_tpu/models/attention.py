@@ -32,6 +32,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -152,6 +153,11 @@ class SelfAttention(nn.Module):
                 out = fused_attention(q, k, v, causal)
         else:
             out = _attend(q, k, v, causal=causal, dtype=self.dtype)
+        # Tag for the "attn" remat policy (save_only_these_names): saving
+        # this one (B, N, C) tensor per attention lets the backward pass
+        # skip re-running the attention forward during remat, at ~16 MB
+        # per layer per pass — see STTransformerDecoder.remat_policy.
+        out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
         return self.proj(out.reshape(B, N, C))
 
     def decode_step(self, x_t: jax.Array, k_cache: jax.Array, v_cache: jax.Array,

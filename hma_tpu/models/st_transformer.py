@@ -227,7 +227,13 @@ class STTransformerDecoder(nn.Module):
     # "full": recompute the whole block in the backward (min memory,
     # +1 extra fwd of compute). "dots": save matmul outputs, recompute
     # only elementwise ops — near-none recompute cost at ~2x the
-    # activation memory of "full"; the right default for training MFU.
+    # activation memory of "full". "attn": save only the attention
+    # outputs (checkpoint_name-tagged in SelfAttention) — the backward
+    # re-runs the cheap matmuls but skips both attention forwards, at
+    # ~32 MB/layer extra. Measured a wash vs "full" on v5e at B=8
+    # (0.308 vs 0.305 s/step — the Pallas attention forwards are cheap
+    # enough to recompute), so "full" stays the default; see
+    # experiments/mfu_probe.py.
     remat_policy: str = "full"
 
     def setup(self):
@@ -236,6 +242,9 @@ class STTransformerDecoder(nn.Module):
             policy = None
             if self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif self.remat_policy == "attn":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out")
             block = nn.remat(STBlock, static_argnums=(3,), policy=policy)
         self.layers = [
             block(num_heads=self.num_heads, d_model=self.d_model,

@@ -19,6 +19,7 @@ on TPU is expressed by scanning microbatches inside the step.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -101,6 +102,34 @@ def mup_matrix_mask(params, base_shapes=None) -> Any:
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def _adamw_core(learning_rate, weight_decay, beta1, beta2, eps,
+                params_template, mup_width_mult, mup_base_shapes):
+    """The AdamW part of the optimizer, WITHOUT the global-norm clip (so
+    the sliced-domain optimizer can apply one clip over dense+sliced)."""
+    mask = weight_decay_mask(params_template) if params_template is not None else None
+    if (mup_width_mult is None or mup_width_mult == 1.0
+            or params_template is None):
+        return optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
+                           weight_decay=weight_decay, mask=mask)
+
+    mmask = mup_matrix_mask(params_template, mup_base_shapes)
+    labels = jax.tree.map(lambda m: "matrix" if m else "other", mmask)
+    if callable(learning_rate):
+        matrix_lr = lambda s: learning_rate(s) / mup_width_mult
+    else:
+        matrix_lr = learning_rate / mup_width_mult
+    return optax.multi_transform(
+        # matrix partition is all kernels -> decay applies everywhere;
+        # "other" gets the decay mask as a callable so it re-derives
+        # over the partitioned (MaskedNode-bearing) tree.
+        {"matrix": optax.adamw(matrix_lr, b1=beta1, b2=beta2, eps=eps,
+                               weight_decay=weight_decay * mup_width_mult),
+         "other": optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
+                              weight_decay=weight_decay,
+                              mask=weight_decay_mask)},
+        labels)
+
+
 def make_optimizer(learning_rate, weight_decay: float = 0.01,
                    beta1: float = 0.9, beta2: float = 0.999,
                    eps: float = 1e-8, max_grad_norm: float = 1.0,
@@ -113,32 +142,179 @@ def make_optimizer(learning_rate, weight_decay: float = 0.01,
     width_mult, so the per-step decay lr*wd is width-invariant while the
     Adam update shrinks 1/width. That's what makes one tuned LR transfer
     across widths."""
-    mask = weight_decay_mask(params_template) if params_template is not None else None
-    if (mup_width_mult is None or mup_width_mult == 1.0
-            or params_template is None):
-        return optax.chain(
-            optax.clip_by_global_norm(max_grad_norm),
-            optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
-                        weight_decay=weight_decay, mask=mask))
-
-    mmask = mup_matrix_mask(params_template, mup_base_shapes)
-    labels = jax.tree.map(lambda m: "matrix" if m else "other", mmask)
-    if callable(learning_rate):
-        matrix_lr = lambda s: learning_rate(s) / mup_width_mult
-    else:
-        matrix_lr = learning_rate / mup_width_mult
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.multi_transform(
-            # matrix partition is all kernels -> decay applies everywhere;
-            # "other" gets the decay mask as a callable so it re-derives
-            # over the partitioned (MaskedNode-bearing) tree.
-            {"matrix": optax.adamw(matrix_lr, b1=beta1, b2=beta2, eps=eps,
-                                   weight_decay=weight_decay * mup_width_mult),
-             "other": optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
-                                  weight_decay=weight_decay,
-                                  mask=weight_decay_mask)},
-            labels))
+        _adamw_core(learning_rate, weight_decay, beta1, beta2, eps,
+                    params_template, mup_width_mult, mup_base_shapes))
+
+
+# ---------------------------------------------------------------------------
+# Domain-sliced AdamW
+# ---------------------------------------------------------------------------
+
+class SlicedAdamState(NamedTuple):
+    dense: Any       # inner optax state over the shared (non-stacked) leaves
+    m: Any           # first moments, full stacked shapes
+    v: Any           # second moments, full stacked shapes
+    count: jax.Array   # (num_domains,) int32 — per-domain Adam steps
+    gcount: jax.Array  # () int32 — global steps, drives the LR schedule
+
+
+class DomainSlicedOptimizer(NamedTuple):
+    """AdamW that updates only the active domain's slice of the
+    domain-stacked parameter tables (~90% of the flagship's params live in
+    (num_domains, ...) stacks, of which one slice has nonzero grads per
+    step).
+
+    Semantics match the torch reference more closely than a dense AdamW:
+    per-domain ModuleDicts leave unused domains' p.grad = None, which
+    torch AdamW *skips* — no moment decay, no weight decay, no step-count
+    increment (hma/train_multi.py builds one AdamW over all per-domain
+    modules). The dense optax update instead kept applying stale momentum
+    and decay to the 39 inactive domains every step. Bias correction uses
+    a per-domain step count, exactly like torch's per-param `step`; the
+    LR schedule uses the global step, like torch's scheduler.
+
+    Also a large HBM win: the optimizer pass reads/writes the active
+    slice only (~1.3 GB/step instead of ~10.5 GB on the 375M flagship).
+    """
+    init: Callable[[Any], SlicedAdamState]
+    # (grads, state, params, domain_id, ok) ->
+    #     (new_params, new_state, grad_norm)
+    update_and_apply: Callable
+
+
+def domain_stacked_mask(params_template, params_template_other) -> Any:
+    """True for leaves that are domain-stacked, decided structurally: the
+    same model `eval_shape`'d at a different num_domains changes exactly
+    the stacked leaves' shapes. Exact for any config (no leading-dim
+    heuristic that could collide with T/S/d_model)."""
+    return jax.tree.map(lambda a, b: tuple(a.shape) != tuple(b.shape),
+                        params_template, params_template_other)
+
+
+def _prune(mask, tree, keep: bool):
+    """Replace leaves where mask != keep with None (empty subtrees), so
+    paths of the surviving leaves are preserved for path-based masks."""
+    return jax.tree.map(lambda m, x: x if m == keep else None, mask, tree)
+
+
+def _combine(mask, dense_tree, stacked_tree):
+    mask_leaves, treedef = jax.tree.flatten(mask)
+    it_d = iter(jax.tree.leaves(dense_tree))
+    it_s = iter(jax.tree.leaves(stacked_tree))
+    return jax.tree.unflatten(
+        treedef, [next(it_s) if m else next(it_d) for m in mask_leaves])
+
+
+def make_domain_sliced_optimizer(
+        learning_rate, weight_decay: float = 0.01,
+        beta1: float = 0.9, beta2: float = 0.999,
+        eps: float = 1e-8, max_grad_norm: float = 1.0,
+        *, params_template, stacked_mask, num_domains: int,
+        mup_width_mult: Optional[float] = None,
+        mup_base_shapes=None) -> DomainSlicedOptimizer:
+    """Build the sliced-domain AdamW. `stacked_mask` comes from
+    `domain_stacked_mask`; dense (shared) leaves get the standard
+    `_adamw_core` chain, stacked leaves get the manual sliced update."""
+    dense_template = _prune(stacked_mask, params_template, False)
+    stacked_template = _prune(stacked_mask, params_template, True)
+    dense_base = (None if mup_base_shapes is None
+                  else _prune(stacked_mask, mup_base_shapes, False))
+    inner = _adamw_core(learning_rate, weight_decay, beta1, beta2, eps,
+                        dense_template, mup_width_mult, dense_base)
+
+    # Per-stacked-leaf effective lr multiplier / weight decay under muP.
+    wd_mask = weight_decay_mask(stacked_template)
+    if mup_width_mult is not None and mup_width_mult != 1.0:
+        mmask = mup_matrix_mask(stacked_template,
+                                _prune(stacked_mask, mup_base_shapes, True)
+                                if mup_base_shapes is not None else None)
+        lr_mult = jax.tree.map(
+            lambda m: 1.0 / mup_width_mult if m else 1.0, mmask)
+        wd_leaf = jax.tree.map(
+            lambda m, w: (weight_decay * mup_width_mult if m
+                          else (weight_decay if w else 0.0)), mmask, wd_mask)
+    else:
+        lr_mult = jax.tree.map(lambda _: 1.0, wd_mask)
+        wd_leaf = jax.tree.map(
+            lambda w: weight_decay if w else 0.0, wd_mask)
+
+    def init(params) -> SlicedAdamState:
+        stacked = _prune(stacked_mask, params, True)
+        return SlicedAdamState(
+            dense=inner.init(_prune(stacked_mask, params, False)),
+            m=jax.tree.map(jnp.zeros_like, stacked),
+            v=jax.tree.map(jnp.zeros_like, stacked),
+            count=jnp.zeros((num_domains,), jnp.int32),
+            gcount=jnp.zeros((), jnp.int32))
+
+    def update_and_apply(grads, state: SlicedAdamState, params, domain_id,
+                         ok: jax.Array):
+        dense_g = _prune(stacked_mask, grads, False)
+        stacked_g = _prune(stacked_mask, grads, True)
+        dense_p = _prune(stacked_mask, params, False)
+        stacked_p = _prune(stacked_mask, params, True)
+
+        d = jnp.asarray(domain_id, jnp.int32)
+        take = functools.partial(jax.lax.dynamic_index_in_dim,
+                                 index=d, axis=0, keepdims=False)
+        g_slices = jax.tree.map(take, stacked_g)
+
+        # Global grad norm over dense grads + the active slices — equal to
+        # the full-tree norm (inactive slices are exactly zero) without
+        # reading the ~1.3 GB of zeros. Clip formula matches
+        # optax.clip_by_global_norm.
+        sq = sum(jnp.sum(jnp.square(g)) for g in
+                 jax.tree.leaves(dense_g) + jax.tree.leaves(g_slices))
+        g_norm = jnp.sqrt(sq)
+        scale = jnp.where(g_norm < max_grad_norm, 1.0,
+                          max_grad_norm / jnp.maximum(g_norm, 1e-20))
+
+        dense_g = jax.tree.map(lambda g: g * scale.astype(g.dtype), dense_g)
+        g_slices = jax.tree.map(lambda g: g * scale.astype(g.dtype), g_slices)
+
+        updates, new_dense = inner.update(dense_g, state.dense, dense_p)
+        ok_f = ok.astype(jnp.float32)
+        new_dense_p = jax.tree.map(
+            lambda p, u: p + u * ok_f.astype(u.dtype), dense_p, updates)
+
+        c_d = state.count[d] + 1
+        lr_t = (learning_rate(state.gcount) if callable(learning_rate)
+                else jnp.asarray(learning_rate, jnp.float32))
+        bc1 = 1.0 - beta1 ** c_d.astype(jnp.float32)
+        bc2 = 1.0 - beta2 ** c_d.astype(jnp.float32)
+
+        def upd_leaf(p, g_d, m, v, lmul, wd):
+            m_d = beta1 * take(m) + (1.0 - beta1) * g_d
+            v_d = beta2 * take(v) + (1.0 - beta2) * jnp.square(g_d)
+            mhat = m_d / bc1
+            vhat = v_d / bc2
+            step_d = mhat / (jnp.sqrt(vhat) + eps) + wd * take(p)
+            p_d = take(p) - (lr_t * lmul * ok_f) * step_d
+            put = lambda full, sl: jax.lax.dynamic_update_index_in_dim(
+                full, sl, d, axis=0)
+            return put(p, p_d), put(m, m_d), put(v, v_d)
+
+        out = jax.tree.map(upd_leaf, stacked_p, g_slices, state.m, state.v,
+                           lr_mult, wd_leaf)
+        # out is a tree of 3-tuples; transpose into three trees
+        outer = jax.tree.structure(stacked_p)
+        new_stacked_p = jax.tree.unflatten(
+            outer, [t[0] for t in jax.tree.leaves(out, is_leaf=lambda x: isinstance(x, tuple))])
+        new_m = jax.tree.unflatten(
+            outer, [t[1] for t in jax.tree.leaves(out, is_leaf=lambda x: isinstance(x, tuple))])
+        new_v = jax.tree.unflatten(
+            outer, [t[2] for t in jax.tree.leaves(out, is_leaf=lambda x: isinstance(x, tuple))])
+
+        new_params = _combine(stacked_mask, new_dense_p, new_stacked_p)
+        new_state = SlicedAdamState(
+            dense=new_dense, m=new_m, v=new_v,
+            count=state.count.at[d].add(1),
+            gcount=state.gcount + 1)
+        return new_params, new_state, g_norm
+
+    return DomainSlicedOptimizer(init=init, update_and_apply=update_and_apply)
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
@@ -209,6 +385,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
         return (jax.tree.map(lambda g: g * inv, grads),
                 jax.tree.map(lambda m: m * inv, metrics))
 
+    sliced = isinstance(tx, DomainSlicedOptimizer)
+
     def train_step(state: TrainState, batch, rng):
         grads, metrics = compute_grads(state.params, batch, rng)
         # NaN guard: skip the update if the loss went non-finite. Zero the
@@ -220,10 +398,16 @@ def make_train_step(model, tx: optax.GradientTransformation,
         # where, not multiply: NaN * 0 = NaN would leak through the guard
         grads = jax.tree.map(
             lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree.map(
-            lambda p, u: p + u * ok_f.astype(u.dtype), state.params, updates)
+        if sliced:
+            params, opt_state, g_norm = tx.update_and_apply(
+                grads, state.opt_state, state.params,
+                batch["domain_id"], ok)
+            metrics["grad_norm"] = g_norm
+        else:
+            metrics["grad_norm"] = optax.global_norm(grads)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree.map(
+                lambda p, u: p + u * ok_f.astype(u.dtype), state.params, updates)
         metrics["skipped"] = 1.0 - ok_f
         return TrainState(params, opt_state, state.step + 1), metrics
 

@@ -42,6 +42,8 @@ from hma_tpu.parallel.mesh import batch_sharding, make_mesh, make_param_sharding
 from hma_tpu.train.step import (
     TrainState,
     custom_cosine_schedule,
+    domain_stacked_mask,
+    make_domain_sliced_optimizer,
     make_eval_step,
     make_optimizer,
     make_train_step,
@@ -106,6 +108,11 @@ class TrainArgs:
     # (PSNR/LPIPS rollout metrics, reference: train_multi.py:324-464)
     tokenizer_checkpoint: Optional[str] = None
     lpips_weights: Optional[str] = None  # torch LPIPS(alex) state_dict path
+    # Sliced AdamW over the (num_domains, ...) parameter stacks: update
+    # only the active domain's slice each step (torch-AdamW-skips-unused
+    # semantics + ~10x less optimizer HBM traffic; train/step.py
+    # DomainSlicedOptimizer). Dense optax AdamW when off.
+    domain_sliced_adam: bool = True
 
 
 def build_domain_datasets(args: TrainArgs, config):
@@ -322,10 +329,35 @@ def run_training(args: TrainArgs) -> dict:
             dev_batch0["labels"], dev_batch0.get("action_ids"),
             dev_batch0["domain_id"],
             *([dev_batch0["masked_tokens_indicator"]] if not discrete else []))
-    tx = make_optimizer(schedule, args.weight_decay, args.adam_beta_1,
-                        args.adam_beta_2, args.adam_eps, args.max_grad_norm,
-                        params_template=params, mup_width_mult=mup_mult,
-                        mup_base_shapes=mup_base_shapes)
+    if args.domain_sliced_adam and config.num_domains > 1:
+        # Structural stacked-leaf mask: eval_shape the same model with one
+        # extra domain — exactly the domain-stacked leaves change shape.
+        import copy as _copy
+
+        alt_cfg = _copy.deepcopy(config)
+        alt_cfg.action_domains = list(config.action_domains) + ["__probe__"]
+        alt_cfg.d_actions = list(config.d_actions) + [config.d_actions[-1]]
+        if getattr(config, "action_stats", None):
+            alt_cfg.action_stats = (list(config.action_stats)
+                                    + [config.action_stats[-1]])
+        alt_cfg.__post_init__()
+        other = jax.eval_shape(
+            make_model(args, alt_cfg).init, init_rngs,
+            dev_batch0["input_ids"], dev_batch0["labels"],
+            dev_batch0.get("action_ids"), dev_batch0["domain_id"],
+            *([dev_batch0["masked_tokens_indicator"]] if not discrete else []))
+        tx = make_domain_sliced_optimizer(
+            schedule, args.weight_decay, args.adam_beta_1,
+            args.adam_beta_2, args.adam_eps, args.max_grad_norm,
+            params_template=params,
+            stacked_mask=domain_stacked_mask(params, other),
+            num_domains=config.num_domains, mup_width_mult=mup_mult,
+            mup_base_shapes=mup_base_shapes)
+    else:
+        tx = make_optimizer(schedule, args.weight_decay, args.adam_beta_1,
+                            args.adam_beta_2, args.adam_eps, args.max_grad_norm,
+                            params_template=params, mup_width_mult=mup_mult,
+                            mup_base_shapes=mup_base_shapes)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
