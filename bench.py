@@ -65,13 +65,31 @@ def main():
     # clean allocator state — running it after the rollout section slows
     # the step 0.58 -> 0.65 s (HBM fragmentation from the inference
     # buffers), which under-reports training by ~11%.
-    from hma_tpu.train.step import TrainState, make_optimizer, make_train_step
+    from hma_tpu.train.step import (TrainState, domain_stacked_mask,
+                                    make_domain_sliced_optimizer,
+                                    make_train_step)
 
     inp = np.asarray(tokens).copy()
     inp[:, 1:, : cfg.S // 2] = cfg.image_vocab_size
     batch = {"input_ids": jnp.asarray(inp), "labels": tokens,
              "action_ids": actions, "domain_id": domain_id}
-    tx = make_optimizer(1e-4, params_template=params)
+    # trainer-default DomainSlicedOptimizer: Adam touches only the active
+    # domain's slice of the (40, ...) stacked tables (0.305 -> 0.290
+    # s/step vs dense optax adamw; experiments/mfu_probe.py sliced)
+    import copy
+
+    alt = copy.deepcopy(cfg)
+    alt.action_domains = list(cfg.action_domains) + ["__probe__"]
+    alt.d_actions = list(cfg.d_actions) + [cfg.d_actions[-1]]
+    alt.action_stats = list(cfg.action_stats) + [cfg.action_stats[-1]]
+    alt.__post_init__()
+    other = jax.eval_shape(
+        STMaskGIT(alt).init, {"params": jax.random.PRNGKey(0)},
+        tokens, tokens, actions, domain_id)
+    tx = make_domain_sliced_optimizer(
+        1e-4, params_template=params,
+        stacked_mask=domain_stacked_mask(params, other),
+        num_domains=cfg.num_domains)
     # remat: the 32-layer backward stores ~10 GB of attention logits
     # otherwise — rematerialize blocks instead
     train_model = STMaskGIT(cfg, remat=True)

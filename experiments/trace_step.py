@@ -29,7 +29,9 @@ def trace():
 
     from __graft_entry__ import _flagship_config
     from hma_tpu.models.st_mask_git import STMaskGIT
-    from hma_tpu.train.step import TrainState, make_optimizer, make_train_step
+    from hma_tpu.train.step import (TrainState, domain_stacked_mask,
+                                    make_domain_sliced_optimizer,
+                                    make_train_step)
 
     cfg = _flagship_config(num_domains=40)
     model = STMaskGIT(cfg, remat=True, remat_policy="full")
@@ -44,7 +46,21 @@ def trace():
              "action_ids": actions, "domain_id": domain_id}
     params = model.init({"params": jax.random.PRNGKey(0)},
                         tokens, tokens, actions, domain_id)
-    tx = make_optimizer(1e-4, params_template=params)
+    # trainer-default sliced optimizer, as in bench.py
+    import copy
+
+    alt = copy.deepcopy(cfg)
+    alt.action_domains = list(cfg.action_domains) + ["__probe__"]
+    alt.d_actions = list(cfg.d_actions) + [cfg.d_actions[-1]]
+    alt.action_stats = list(cfg.action_stats) + [cfg.action_stats[-1]]
+    alt.__post_init__()
+    other = jax.eval_shape(
+        STMaskGIT(alt, remat=True).init, {"params": jax.random.PRNGKey(0)},
+        tokens, tokens, actions, domain_id)
+    tx = make_domain_sliced_optimizer(
+        1e-4, params_template=params,
+        stacked_mask=domain_stacked_mask(params, other),
+        num_domains=cfg.num_domains)
     step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
     state = TrainState(params, tx.init(params), jnp.asarray(0))
 
