@@ -65,10 +65,11 @@ def main(argv=None):
     encode_batch = None
     suffix = "raw"
     if args.encoder_type == "magvit":
-        from hma_tpu.tokenizer.convert import load_magvit2_checkpoint
+        from hma_tpu.tokenizer.convert import load_magvit2
 
         encode_batch = make_magvit_encoder(
-            load_magvit2_checkpoint(args.encoder_name_or_path), args.batch_size)
+            *load_magvit2(args.encoder_name_or_path),
+            batch_size=args.batch_size)
         suffix = "magvit"
 
     out_dir = (f"{args.out_root}/{args.dataset_name}_{suffix}"

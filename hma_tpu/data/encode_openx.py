@@ -65,15 +65,15 @@ def val_split_size(total_episodes: int) -> int:
                        MIN_VAL_EXAMPLES, MAX_VAL_EXAMPLES))
 
 
-def make_magvit_encoder(tokenizer_params: dict, batch_size: int = 64,
-                        dtype=None):
+def make_magvit_encoder(tokenizer_params: dict, config=None,
+                        batch_size: int = 64, dtype=None):
     """Jitted batched image -> token-grid encoder."""
     import jax
     import jax.numpy as jnp
 
     from hma_tpu.tokenizer.magvit2 import VQConfig, VQModel
 
-    model = VQModel(VQConfig(), dtype=dtype or jnp.bfloat16)
+    model = VQModel(config or VQConfig(), dtype=dtype or jnp.bfloat16)
 
     @jax.jit
     def encode(imgs):  # (B, H, W, 3) float [-1, 1]
@@ -241,10 +241,11 @@ def main(argv=None):
     encode_batch = None
     suffix = "raw"
     if args.encoder_type == "magvit":
-        from hma_tpu.tokenizer.convert import load_magvit2_checkpoint
+        from hma_tpu.tokenizer.convert import load_magvit2
 
         encode_batch = make_magvit_encoder(
-            load_magvit2_checkpoint(args.encoder_name_or_path), args.batch_size)
+            *load_magvit2(args.encoder_name_or_path),
+            batch_size=args.batch_size)
         suffix = "magvit"
     elif args.encoder_type == "temporalvae":
         # weights via load_svd_vae_torch_weights when available; random

@@ -86,9 +86,9 @@ def main(argv=None):
     decode = None
     if args.tokenizer_ckpt:
         from hma_tpu.rollout.decode import make_token_decoder
-        from hma_tpu.tokenizer.convert import load_magvit2_checkpoint
+        from hma_tpu.tokenizer.convert import load_magvit2
 
-        decode = make_token_decoder(load_magvit2_checkpoint(args.tokenizer_ckpt))
+        decode = make_token_decoder(*load_magvit2(args.tokenizer_ckpt))
 
     logger = MetricLogger(args.output_dir, project="video_val",
                           config=vars(args),

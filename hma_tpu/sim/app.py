@@ -86,11 +86,11 @@ def build_simulator(checkpoint_dir: str, tokenizer_ckpt: str,
     else:
         from hma_tpu.generate import load_model
         from hma_tpu.rollout.decode import make_token_decoder
-        from hma_tpu.tokenizer.convert import load_magvit2_checkpoint
+        from hma_tpu.tokenizer.convert import load_magvit2
 
         model, params, config = load_model(checkpoint_dir)
         decode_kw = {"decode_tokens":
-                     make_token_decoder(load_magvit2_checkpoint(tokenizer_ckpt))}
+                     make_token_decoder(*load_magvit2(tokenizer_ckpt))}
     domain_id = (config.action_domains.index(domain)
                  if config.action_domains and domain in config.action_domains else 0)
     return GenieSimulator(model, params, domain_id=domain_id,

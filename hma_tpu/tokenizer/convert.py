@@ -114,6 +114,29 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray],
     return {"params": params}
 
 
+def load_magvit2(ckpt_path: str, use_ema: bool = True):
+    """Load a torch MagVit2 checkpoint plus its architecture config.
+
+    Returns (flax_params, VQConfig). The config is discovered from a
+    sidecar JSON — `<ckpt_path>.json` or `vq_config.json` next to the
+    checkpoint (written by `VQConfig.save_pretrained`) — and falls back
+    to the default `VQConfig()`, which is the architecture of the
+    released magvit2.ckpt (reference: external/magvit2/config.py:10-44).
+    Fixture checkpoints with non-default shapes ship the sidecar.
+    """
+    import os
+
+    from hma_tpu.tokenizer.magvit2 import VQConfig
+
+    params = load_magvit2_checkpoint(ckpt_path, use_ema=use_ema)
+    for cand in (ckpt_path + ".json",
+                 os.path.join(os.path.dirname(os.path.abspath(ckpt_path)),
+                              "vq_config.json")):
+        if os.path.exists(cand):
+            return params, VQConfig.from_pretrained(cand)
+    return params, VQConfig()
+
+
 def load_magvit2_checkpoint(ckpt_path: str, use_ema: bool = True) -> dict:
     """Load the reference torch checkpoint file into flax VQModel params.
 

@@ -403,10 +403,10 @@ def run_training(args: TrainArgs) -> dict:
     vis_decode = vis_lpips = None
     if args.tokenizer_checkpoint and discrete:
         from hma_tpu.rollout.decode import make_token_decoder
-        from hma_tpu.tokenizer.convert import load_magvit2_checkpoint
+        from hma_tpu.tokenizer.convert import load_magvit2
 
         vis_decode = make_token_decoder(
-            load_magvit2_checkpoint(args.tokenizer_checkpoint))
+            *load_magvit2(args.tokenizer_checkpoint))
         if args.lpips_weights:
             import torch
 

@@ -71,9 +71,9 @@ def main(argv=None):
                         ).reshape(-1, h, w)
 
     from hma_tpu.rollout.decode import make_token_decoder
-    from hma_tpu.tokenizer.convert import load_magvit2_checkpoint
+    from hma_tpu.tokenizer.convert import load_magvit2
 
-    decode = make_token_decoder(load_magvit2_checkpoint(args.tokenizer_ckpt))
+    decode = make_token_decoder(*load_magvit2(args.tokenizer_ckpt))
 
     n_prompt = meta["num_prompt_frames"]
     window = meta["window_size"]
