@@ -310,3 +310,149 @@ def test_svd_vae_import_strict_flags_leftovers():
     sd["decoder.bogus.weight"] = torch.zeros(1)
     with pytest.raises(KeyError):
         load_svd_vae_torch_weights(sd, block_out=block_out)
+
+
+# ---------------------------------------------------------------------------
+# Independent key-layout fixture: the parameter inventory of diffusers'
+# AutoencoderKLTemporalDecoder, hand-derived from the diffusers source
+# (models/autoencoders/autoencoder_kl_temporal_decoder.py + the shared
+# vae.py Encoder, diffusers ~0.27 — the class the reference loads at
+# datasets/utils.py:7,22). This is written from the *diffusers* layout
+# rules, not from this repo's importer or the torch oracle above, so a
+# shared misreading between oracle and port (the failure mode the oracle
+# test cannot catch) has to also survive this inventory to pass.
+# ---------------------------------------------------------------------------
+
+
+def _diffusers_svd_vae_key_manifest(block_out, latent=4):
+    """{torch key: shape} for AutoencoderKLTemporalDecoder.
+
+    Layout rules encoded here: Encoder = DownEncoderBlock2D x len(block_out)
+    with layers_per_block=2 resnets (conv_shortcut 1x1 only where channels
+    change), downsamplers on all but the last block, UNetMidBlock2D with
+    2 resnets around 1 attention (to_out is a ModuleList -> 'to_out.0'),
+    double_z conv_out + 1x1 quant_conv, and NO post_quant_conv on this
+    class. TemporalDecoder = MidBlockTemporalDecoder (2 SpatioTemporal
+    resnets + attention) and UpBlockTemporalDecoder x len(block_out) over
+    reversed(block_out) with layers_per_block+1 = 3 SpatioTemporalResBlocks
+    each; every SpatioTemporalResBlock = spatial ResnetBlock2D + temporal
+    TemporalResnetBlock ((3,1,1) Conv3d) + AlphaBlender 'time_mixer.mix_factor'
+    of shape (1,); upsamplers on all but the last block; trailing
+    conv_norm_out / conv_out / (3,1,1) time_conv_out. VAE blocks pass
+    temb_channels=None so ResnetBlock2D has no time_emb_proj keys.
+    """
+    keys = {}
+
+    def conv2d(p, cout, cin, k=3):
+        keys[p + ".weight"] = (cout, cin, k, k)
+        keys[p + ".bias"] = (cout,)
+
+    def conv3d(p, cout, cin, k=(3, 1, 1)):
+        keys[p + ".weight"] = (cout, cin, *k)
+        keys[p + ".bias"] = (cout,)
+
+    def norm(p, c):
+        keys[p + ".weight"] = (c,)
+        keys[p + ".bias"] = (c,)
+
+    def linear(p, cout, cin):
+        keys[p + ".weight"] = (cout, cin)
+        keys[p + ".bias"] = (cout,)
+
+    def res2d(p, cin, cout):
+        norm(p + ".norm1", cin)
+        conv2d(p + ".conv1", cout, cin)
+        norm(p + ".norm2", cout)
+        conv2d(p + ".conv2", cout, cout)
+        if cin != cout:
+            conv2d(p + ".conv_shortcut", cout, cin, k=1)
+
+    def res3d(p, cin, cout):
+        norm(p + ".norm1", cin)
+        conv3d(p + ".conv1", cout, cin)
+        norm(p + ".norm2", cout)
+        conv3d(p + ".conv2", cout, cout)
+        if cin != cout:
+            conv3d(p + ".conv_shortcut", cout, cin, k=(1, 1, 1))
+
+    def st_res(p, cin, cout):
+        res2d(p + ".spatial_res_block", cin, cout)
+        # the temporal block runs on the *spatial block's output*
+        # (SpatioTemporalResBlock passes in_channels=out_channels), so it
+        # is always cout->cout and never has a conv_shortcut
+        res3d(p + ".temporal_res_block", cout, cout)
+        keys[p + ".time_mixer.mix_factor"] = (1,)
+
+    def attn(p, c):
+        norm(p + ".group_norm", c)
+        linear(p + ".to_q", c, c)
+        linear(p + ".to_k", c, c)
+        linear(p + ".to_v", c, c)
+        linear(p + ".to_out.0", c, c)
+
+    conv2d("encoder.conv_in", block_out[0], 3)
+    cin = block_out[0]
+    for i, cout in enumerate(block_out):
+        res2d(f"encoder.down_blocks.{i}.resnets.0", cin, cout)
+        res2d(f"encoder.down_blocks.{i}.resnets.1", cout, cout)
+        if i < len(block_out) - 1:
+            conv2d(f"encoder.down_blocks.{i}.downsamplers.0.conv", cout, cout)
+        cin = cout
+    c = block_out[-1]
+    res2d("encoder.mid_block.resnets.0", c, c)
+    attn("encoder.mid_block.attentions.0", c)
+    res2d("encoder.mid_block.resnets.1", c, c)
+    norm("encoder.conv_norm_out", c)
+    conv2d("encoder.conv_out", 2 * latent, c)
+    conv2d("quant_conv", 2 * latent, 2 * latent, k=1)
+
+    conv2d("decoder.conv_in", block_out[-1], latent)
+    st_res("decoder.mid_block.resnets.0", c, c)
+    attn("decoder.mid_block.attentions.0", c)
+    st_res("decoder.mid_block.resnets.1", c, c)
+    prev = c
+    for i, cout in enumerate(reversed(block_out)):
+        for j in range(3):
+            st_res(f"decoder.up_blocks.{i}.resnets.{j}",
+                   prev if j == 0 else cout, cout)
+        if i < len(block_out) - 1:
+            conv2d(f"decoder.up_blocks.{i}.upsamplers.0.conv", cout, cout)
+        prev = cout
+    norm("decoder.conv_norm_out", block_out[0])
+    conv2d("decoder.conv_out", 3, block_out[0])
+    conv3d("decoder.time_conv_out", 3, 3)
+    return keys
+
+
+def test_diffusers_key_manifest_imports_exactly():
+    """The importer must consume the hand-derived diffusers key inventory
+    exactly (strict: any unconsumed key raises, any missing key raises)
+    and produce precisely the parameter tree SVDTemporalVAE initializes —
+    same channel-doubling pattern as the released (128, 256, 512, 512)
+    checkpoint, so shortcut placement is exercised."""
+    block_out = (32, 64, 128, 128)
+    manifest = _diffusers_svd_vae_key_manifest(block_out)
+    sd = {k: np.zeros(s, np.float32) for k, s in manifest.items()}
+    params = load_svd_vae_torch_weights(sd, block_out=block_out, strict=True)
+
+    model = SVDTemporalVAE(block_out=block_out)
+    ref = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 3), jnp.float32))
+    got = jax.tree.map(lambda a: tuple(np.shape(a)), params)
+    want = jax.tree.map(lambda a: tuple(a.shape), ref)
+    assert got == want
+
+
+def test_diffusers_key_manifest_matches_oracle_state_dict():
+    """Cross-check the two independent renderings of the diffusers layout:
+    the hand-built torch oracle's state_dict keys/shapes must equal the
+    hand-derived manifest. Disagreement means at least one of them has
+    drifted from diffusers."""
+    torch = pytest.importorskip("torch")
+    block_out = (32, 64)
+    torch.manual_seed(0)
+    sd = _build_torch_oracle(block_out).state_dict()
+    manifest = _diffusers_svd_vae_key_manifest(block_out)
+    assert set(sd) == set(manifest)
+    for k, shape in manifest.items():
+        assert tuple(sd[k].shape) == shape, (k, tuple(sd[k].shape), shape)
