@@ -48,6 +48,9 @@ def main():
     for name, (B, H, S, D, causal) in {
         "spatial": (96, 8, 320, 32, False),
         "temporal": (2560, 8, 12, 32, True),
+        # rollout's per-frame spatial pass (frame_step): B=8 — exercises
+        # the (B, H) per-head grid variant of ops/fused_attention
+        "rollout_spatial": (8, 8, 320, 32, False),
     }.items():
         # _attend takes (B, S, H, D) with q pre-scaled
         q_bshd = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16) * 0.2

@@ -65,7 +65,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, causal: bool,
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         s = jnp.sum(p, axis=-1, keepdims=True)
-        lse_ref[0, h] = (m + jnp.log(s))[:, 0]
+        lse = m + jnp.log(s)  # (S, 1)
+        # per-head-grid blocks carry lse as a trailing length-1 minor
+        # (TPU block tiling forbids a (1, S) minor pair); head-looped
+        # blocks store it as an (S,) row of the (1, H, S) block.
+        lse_ref[0, h] = lse if len(lse_ref.shape) == 4 else lse[:, 0]
         probs = (p / s).astype(q.dtype)
         o_ref[0, h] = jax.lax.dot_general(
             probs, v, (((1,), (0,)), ((), ())),
@@ -80,12 +84,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
         v = v_ref[0, h]
         o = o_ref[0, h].astype(jnp.float32)
         do = do_ref[0, h]
-        lse = lse_ref[0, h]  # (S,)
+        lse = lse_ref[0, h]  # (S,) head-looped / (S, 1) per-head grid
+        if len(lse.shape) == 1:
+            lse = lse[:, None]
 
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        p = jnp.exp(logits - lse[:, None])
+        p = jnp.exp(logits - lse)
         if causal:
             p = jnp.where(_causal_mask(p.shape[0]), 0.0, p)
         p_lo = p.astype(q.dtype)
@@ -110,38 +116,67 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
             preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
-def _fwd(q, k, v, causal: bool, interpret: bool):
-    """q, k, v: (B, H, S, D). Returns out (B, H, S, D), lse (B, H, S)."""
-    B, H, S, D = q.shape
+# Below this batch size a (B,)-grid underfeeds the sequential Pallas
+# pipeline (only B programs of work); put heads on the grid too so B*H
+# programs keep the DMA/compute pipeline busy. Single-device callers
+# never see this case (`supported` gates on B >= 32); it exists for the
+# custom_partitioning per-shard lowering, where local B = B/ndev can be
+# small while the global shape passed the gate.
+_HEADS_ON_GRID_BELOW_B = 32
+
+
+def _specs(B, H, S, D):
+    """(grid, qkv BlockSpec, lse BlockSpec, heads per program, lse 4-D?).
+
+    Per-head grid: lse blocks get a trailing length-1 minor — the array
+    is carried as (B, H, S, 1) — because a (1, S) block minor pair
+    violates the TPU (8, 128) tiling rule, while (S, 1) satisfies it
+    (S % 8 == 0, minor equal to the full array dim).
+    """
+    if B < _HEADS_ON_GRID_BELOW_B:
+        blk = pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+        lse_blk = pl.BlockSpec((1, 1, S, 1), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM)
+        return (B, H), blk, lse_blk, 1, True
     blk = pl.BlockSpec((1, H, S, D), lambda b: (b, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     lse_blk = pl.BlockSpec((1, H, S), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
+    return (B,), blk, lse_blk, H, False
+
+
+def _fwd(q, k, v, causal: bool, interpret: bool):
+    """q, k, v: (B, H, S, D). Returns out (B, H, S, D), lse (B, H, S)."""
+    B, H, S, D = q.shape
+    grid, blk, lse_blk, heads, lse4 = _specs(B, H, S, D)
+    lse_shape = (B, H, S, 1) if lse4 else (B, H, S)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, causal=causal, num_heads=H),
-        grid=(B,),
+        functools.partial(_fwd_kernel, causal=causal, num_heads=heads),
+        grid=grid,
         in_specs=[blk, blk, blk],
         out_specs=[blk, lse_blk],
         out_shape=[jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
-                   jax.ShapeDtypeStruct((B, H, S), jnp.float32)],
+                   jax.ShapeDtypeStruct(lse_shape, jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * H * S * S * D,
             bytes_accessed=8 * B * S * H * D * q.dtype.itemsize,
             transcendentals=B * H * S * S),
     )(q, k, v)
+    if lse4:
+        lse = lse[..., 0]
     return out, lse
 
 
 def _bwd(q, k, v, out, lse, dout, causal: bool, interpret: bool):
     B, H, S, D = q.shape
-    blk = pl.BlockSpec((1, H, S, D), lambda b: (b, 0, 0, 0),
-                       memory_space=pltpu.VMEM)
-    lse_blk = pl.BlockSpec((1, H, S), lambda b: (b, 0, 0),
-                           memory_space=pltpu.VMEM)
+    grid, blk, lse_blk, heads, lse4 = _specs(B, H, S, D)
+    if lse4:
+        lse = lse[..., None]
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, causal=causal, num_heads=H),
-        grid=(B,),
+        functools.partial(_bwd_kernel, causal=causal, num_heads=heads),
+        grid=grid,
         in_specs=[blk, blk, blk, blk, lse_blk, blk],
         out_specs=[blk, blk, blk],
         out_shape=[jax.ShapeDtypeStruct((B, H, S, D), q.dtype)] * 3,
@@ -272,9 +307,14 @@ fused_attention.defvjp(_vjp_fwd, _vjp_bwd)
 def supported(q_shape, head_dim: int) -> bool:
     """Whether the whole-block kernel applies to this attention shape.
 
-    B >= 32: one grid program per batch element — at B=8 (rollout's
-    per-frame spatial pass) the chip is underfed and XLA wins (measured
-    265 vs 349 frames/sec end-to-end); the training pass has B*T >= 96.
+    B >= 32: at rollout's per-frame spatial pass (B=8) the kernel loses
+    to XLA end-to-end even with the (B, H) per-head grid (286 vs 390
+    frames/sec measured on v5e; 265 vs 349 for the original head-looped
+    (B,)-grid) — at decode shapes XLA fuses the attention with the
+    surrounding projections and skips this wrapper's layout transposes.
+    The per-head grid in `_specs` still serves the *per-shard* lowering:
+    under dp/fsdp `custom_partitioning` re-enters `_fwd`/`_bwd` with
+    local B = B/ndev < 32, where B*H programs keep the pipeline fed.
     """
     B, S, H, D = q_shape
     return (B >= 32 and S % 8 == 0 and S <= 1024
