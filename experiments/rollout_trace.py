@@ -10,9 +10,16 @@ is ~204 ms/window (matches bench 0.2058 s). Leaf hotspots:
   69 ms  linen Dense matmuls (24 GB)
   45 ms  attention einsums/softmax (~106 GB claimed vs ~45 GB mandatory
          KV reads: (.., T=12, H=8, D=32) minors pad to (8,128) lanes)
-The byte inflation on cache-touching ops suggests a lane-aligned cache
-layout (minor dim H*D=256 instead of D=32) — see experiments/
-cache_layout_probe.py for the measurement.
+Negative result (measured): rewriting decode_step/decode_window to
+concatenate (B, H, n, T+n) fp32 LOGITS instead of the full k/v caches —
+to avoid the apparent per-layer cache copy — made the rollout 3x SLOWER
+(388.7 -> 129.6 f/s). The re-trace showed XLA inserting 263 ms/window of
+`data formatting` (44.6 GB): with the einsum split in two, it physically
+transposes the cache per step, whereas the cache-concat version fuses
+concat + mask + einsum with no materialization. The claimed
+bytes_accessed on fusions double-count fused operands; the concat
+version is in fact within ~10% of the HBM roofline for its mandatory
+traffic, so the decode path stays as-is.
 """
 
 from __future__ import annotations
