@@ -94,8 +94,7 @@ def main(argv=None):
                           config=vars(args),
                           use_wandb=args.use_wandb and dist.is_primary())
 
-    @jax.jit
-    def tf_jit(p, tok, act, dom, key):
+    def _tf(p, tok, act, dom, key):
         samples, logits = teacher_forced_logits(
             model, p, tok, act, dom, key, maskgit_steps=args.maskgit_steps,
             temperature=args.temperature)
@@ -103,10 +102,20 @@ def main(argv=None):
         tf = teacher_forced_metrics(logits, tok[:, 1:], config.factored_vocab_size)
         return samples, tf
 
+    tf_jit = jax.jit(_tf)
+
+    @jax.jit
+    def tf_jit_rand(p, tok, act, dom, key, k_a):
+        # Perturb actions INSIDE jit: eager ops on the globally-sharded
+        # action array are not addressable in multi-process runs.
+        act = act + args.perturbation_scale * jax.random.normal(
+            k_a, act.shape, act.dtype)
+        return _tf(p, tok, act, dom, key)
+
     with mesh:
         token_metrics, host_metrics = _eval_loop(
             args, mesh, model, params, config, dataset, domain_id,
-            tf_jit, decode)
+            tf_jit, decode, tf_jit_rand=tf_jit_rand)
 
     out = {k: m.mean() for k, m in token_metrics.items() if m.count > 0}
     # host-side (pixel) metrics are per-process means over equal shards
@@ -121,7 +130,7 @@ def main(argv=None):
 
 
 def _eval_loop(args, mesh, model, params, config, dataset, domain_id,
-               tf_jit, decode):
+               tf_jit, decode, tf_jit_rand=None):
     token_metrics = {k: AvgMetric() for k in
                      ["loss", "perplexity", "acc", "gen_time"]}
     host_metrics = {k: AvgMetric() for k in
@@ -177,9 +186,8 @@ def _eval_loop(args, mesh, model, params, config, dataset, domain_id,
                 rand_psnrs = []
                 for _ in range(args.num_action_trials):
                     key, k_t, k_a = jax.random.split(key, 3)
-                    rand_actions = actions + args.perturbation_scale * \
-                        jax.random.normal(k_a, actions.shape)
-                    s_r, _ = tf_jit(params, tokens, rand_actions, domain_id, k_t)
+                    s_r, _ = tf_jit_rand(params, tokens, actions, domain_id,
+                                         k_t, k_a)
                     px_r = decode(local_rows(s_r).reshape(-1, config.h, config.w))
                     rand_psnrs.append(np.mean(batch_psnr(px_r, gt_px)))
                 host_metrics["delta_psnr"].update(
