@@ -37,7 +37,7 @@ from hma_tpu.parallel.sharded_eval import (
     setup_eval_mesh,
     shard_params,
 )
-from hma_tpu.rollout.mar import generate_latents
+from hma_tpu.rollout.mar import generate_latents, teacher_forced_latents
 from hma_tpu.train.trainer import _pad_actions
 from hma_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, load_config_json
 from hma_tpu.utils.logging import MetricLogger
@@ -53,6 +53,12 @@ def parse_args(argv=None):
     p.add_argument("--maskgit_steps", type=int, default=None)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--num_prompt_frames", type=int, default=4)
+    p.add_argument("--eval_mode", type=str, default="teacher_forced",
+                   choices=["teacher_forced", "autoregressive"],
+                   help="teacher_forced: each frame predicted from GT "
+                        "history (the reference's eval loop, "
+                        "evaluate_diffusion.py:144-212); autoregressive: "
+                        "free rollout from --num_prompt_frames")
     p.add_argument("--max_examples", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute_fvd", action="store_true",
@@ -131,12 +137,20 @@ def main(argv=None):
 
     @jax.jit
     def gen_jit(p, lat, act, dom, key):
-        out = generate_latents(
-            model, p, lat, args.num_prompt_frames, act, dom, key,
-            maskgit_steps=args.maskgit_steps, temperature=args.temperature)
-        # reduced inside jit -> replicated global-batch mean
-        mse = jnp.mean((out[:, args.num_prompt_frames:]
-                        - lat[:, args.num_prompt_frames:]) ** 2)
+        if args.eval_mode == "teacher_forced":
+            pred = teacher_forced_latents(
+                model, p, lat, act, dom, key,
+                maskgit_steps=args.maskgit_steps,
+                temperature=args.temperature)
+            out = jnp.concatenate([lat[:, :1], pred], axis=1)
+        else:
+            out = generate_latents(
+                model, p, lat, args.num_prompt_frames, act, dom, key,
+                maskgit_steps=args.maskgit_steps, temperature=args.temperature)
+        # reduced inside jit -> replicated global-batch mean; frames the
+        # model actually predicted (teacher-forced: 1..T-1, AR: prompt..T-1)
+        t0 = 1 if args.eval_mode == "teacher_forced" else args.num_prompt_frames
+        mse = jnp.mean((out[:, t0:] - lat[:, t0:]) ** 2)
         return out, mse
 
     logger = MetricLogger(args.output_dir, project="video_val",
@@ -173,7 +187,9 @@ def main(argv=None):
             t0 = time.time()
             out, mse = gen_jit(params, lat, actions, domain_id, k_b)
             mse = float(mse)
-            gen_time = (time.time() - t0) / max(config.T - args.num_prompt_frames, 1)
+            n_pred = (config.T - 1 if args.eval_mode == "teacher_forced"
+                      else config.T - args.num_prompt_frames)
+            gen_time = (time.time() - t0) / max(n_pred, 1)
             metrics["latent_mse"].update(mse, B)
             metrics["gen_time"].update(gen_time, B)
             n_done += B

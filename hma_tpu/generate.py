@@ -1,10 +1,16 @@
-"""Token-space rollout CLI: `python -m hma_tpu.generate ...`
+"""Rollout CLI: `python -m hma_tpu.generate ...`
 
 Mirrors the reference (hma/generate.py): loads a checkpoint, rolls out
 future frames with MaskGIT (teacher-forced or fully autoregressive), and
-writes the [prompt | prediction | ground truth] token stream to
+writes the [prompt | prediction | ground truth] stream to
 `video.bin` + `metadata.json` for visualize.py. Generation runs the
 KV-cached jitted engine instead of (T-1)*steps full forwards.
+
+`--use_feature` switches to the continuous family (reference:
+hma/generate.py:116-126): an STMAR checkpoint rolls out SVD-VAE latents
+and the output video.bin is float16 (N, C, h, w) raw latents — the same
+on-disk contract RawFeatureDataset reads — so visualize.py can decode it
+with the SVD temporal VAE.
 """
 
 from __future__ import annotations
@@ -31,12 +37,19 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--domain", type=str, default=None)
     p.add_argument("--batch_size", type=int, default=16)
-    p.add_argument("--maskgit_steps", type=int, default=2)
-    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--maskgit_steps", type=int, default=None,
+                   help="default: 2 (discrete) / the model card's "
+                        "maskgit_steps (--use_feature)")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="default: 0.0 greedy (discrete) / 1.0 (--use_feature)")
     p.add_argument("--num_prompt_frames", type=int, default=8)
     p.add_argument("--example_ind", type=int, default=0)
     p.add_argument("--max_examples", type=int, default=16)
     p.add_argument("--teacher_force_time", action="store_true")
+    p.add_argument("--use_feature", action="store_true",
+                   help="continuous family: STMAR checkpoint over VAE latents")
+    p.add_argument("--cfg", type=float, default=1.0,
+                   help="--use_feature classifier-free guidance scale")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -58,6 +71,8 @@ def load_model(checkpoint_dir: str):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.use_feature:
+        return main_feature(args)
     model, params, config = load_model(args.checkpoint_dir)
 
     dataset = RawTokenDataset(args.val_data_dir, window_size=config.T,
@@ -79,16 +94,18 @@ def main(argv=None):
             np.stack([it["action_ids"] for it in items]).astype(np.float32),
             config.max_d_action))
 
+    steps = args.maskgit_steps if args.maskgit_steps is not None else 2
+    temperature = args.temperature if args.temperature is not None else 0.0
     key = jax.random.PRNGKey(args.seed)
     if args.teacher_force_time:
         samples, _ = teacher_forced_logits(
             model, params, jnp.asarray(tokens), actions, domain_id, key,
-            maskgit_steps=args.maskgit_steps, temperature=args.temperature)
+            maskgit_steps=steps, temperature=temperature)
         pred = np.concatenate([tokens[:, :1], np.asarray(samples)], axis=1)
     else:
         run = make_generator(model, num_prompt_frames=args.num_prompt_frames,
-                             maskgit_steps=args.maskgit_steps,
-                             temperature=args.temperature)
+                             maskgit_steps=steps,
+                             temperature=temperature)
         pred = np.asarray(run(params, jnp.asarray(tokens), actions, domain_id, key))
 
     # output layout [prompt | prediction | ground truth] per example
@@ -115,6 +132,69 @@ def main(argv=None):
     with open(out / "metadata.json", "w") as f:
         json.dump(meta, f)
     print(f"wrote {video.shape[0]} frames to {out}")
+
+
+def main_feature(args):
+    """Continuous rollout (reference: hma/generate.py:116-126): STMAR over
+    SVD-VAE latents, output = [prompt | pred | gt] raw float16 latents in
+    the RawFeatureDataset on-disk layout ((N, C, h, w), unscaled)."""
+    from hma_tpu.data.datasets import SVD_SCALE, RawFeatureDataset
+    from hma_tpu.evaluate_feature import load_mar_model
+    from hma_tpu.rollout.mar import make_mar_generator
+
+    model, params, config = load_mar_model(args.checkpoint_dir)
+    dataset = RawFeatureDataset(args.val_data_dir, window_size=config.T,
+                                use_actions=config.use_actions,
+                                domain=args.domain)
+    domain = args.domain or dataset.name
+    domain_id = jnp.asarray(
+        config.action_domains.index(domain)
+        if config.action_domains and domain in config.action_domains else 0,
+        jnp.int32)
+
+    B = min(args.batch_size, args.max_examples)
+    items = [dataset[args.example_ind + i] for i in range(B)]
+    h, w, C = items[0]["h"], items[0]["w"], items[0]["c"]
+    # items are (T*h*w, C) x SVD_SCALE; the MAR engine consumes (B, T, h, w, C)
+    lat = np.stack([it["input_ids"] for it in items]).reshape(
+        B, config.T, h, w, C).astype(np.float32)
+    actions = None
+    if "action_ids" in items[0]:
+        actions = jnp.asarray(_pad_actions(
+            np.stack([it["action_ids"] for it in items]).astype(np.float32),
+            config.max_d_action))
+
+    temperature = args.temperature if args.temperature is not None else 1.0
+    run = make_mar_generator(model, num_prompt_frames=args.num_prompt_frames,
+                             maskgit_steps=args.maskgit_steps,
+                             temperature=temperature, cfg=args.cfg)
+    pred = np.asarray(run(params, jnp.asarray(lat), actions, domain_id,
+                          jax.random.PRNGKey(args.seed)))
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rows = []
+    for i in range(B):
+        rows.append(np.concatenate([lat[i, :args.num_prompt_frames],
+                                    pred[i, args.num_prompt_frames:],
+                                    lat[i, args.num_prompt_frames:]]))
+    # (N, h, w, C) x SVD_SCALE -> raw (N, C, h, w) float16 on disk
+    video = (np.concatenate(rows) / SVD_SCALE).transpose(0, 3, 1, 2) \
+        .astype(np.float16)
+    video.tofile(out / "video.bin")
+    meta = {
+        "num_images": int(video.shape[0]),
+        "h": h, "w": w,
+        "latent_channels": int(C),
+        "token_dtype": "float16",
+        "name": domain,
+        "num_prompt_frames": args.num_prompt_frames,
+        "window_size": int(config.T),
+        "generation_layout": "prompt,pred,gt",
+    }
+    with open(out / "metadata.json", "w") as f:
+        json.dump(meta, f)
+    print(f"wrote {video.shape[0]} latent frames to {out}")
 
 
 if __name__ == "__main__":

@@ -166,6 +166,54 @@ def generate_latents(model: STMAR, params, prompt: jax.Array,
     return unpatchify(out, p, C)
 
 
+def teacher_forced_latents(model: STMAR, params, latents: jax.Array,
+                           action_ids, domain_id, key, *,
+                           maskgit_steps: Optional[int] = None,
+                           temperature: float = 1.0, cfg: float = 1.0):
+    """Per-frame MAR generation with ground-truth history (evaluation).
+
+    For each t in [1, T): the KV caches hold ground-truth frames < t and
+    frame t is MAR-decoded from scratch — the continuous analog of
+    rollout.maskgit.teacher_forced_logits, matching the reference's
+    teacher-forced eval loop (hma/evaluate_diffusion.py:144-212, which
+    feeds GT context and predicts each next frame).
+
+    latents: (B, T, h, w, C) x SVD_SCALE. Returns (B, T-1, h, w, C)
+    predictions for frames 1..T-1.
+    """
+    cfg_model = model.config
+    B, T, H, W, C = latents.shape
+    p = cfg_model.patch_size
+    patches = patchify(latents, p)  # (B, T, h_, w_, pd)
+    h_, w_ = patches.shape[2], patches.shape[3]
+    S = h_ * w_
+    pd = patches.shape[-1]
+    patches = patches.reshape(B, T, S, pd)
+
+    k_cache, v_cache = model.apply(params, B, with_actions=action_ids is not None,
+                                   method=STMAR.init_cache)
+
+    def body(carry, xs):
+        k_cache, v_cache = carry
+        t, key = xs
+        # fill the cache with ground-truth frame t-1
+        _, _, k_cache, v_cache = model.apply(
+            params, jnp.take(patches, t - 1, axis=1), t - 1, k_cache, v_cache,
+            action_ids, domain_id, method=STMAR.frame_latents)
+        frame, _, _, _ = generate_frame_mar(
+            model, params, t, k_cache, v_cache, action_ids, domain_id, key,
+            maskgit_steps=maskgit_steps, temperature=temperature, cfg=cfg,
+            batch_size=B)
+        return (k_cache, v_cache), frame
+
+    ts = jnp.arange(1, T)
+    keys = jax.random.split(key, T - 1)
+    _, frames = jax.lax.scan(body, (k_cache, v_cache), (ts, keys))
+    frames = jnp.moveaxis(frames, 0, 1)  # (B, T-1, S, pd)
+    frames = frames.reshape(B, T - 1, h_, w_, pd)
+    return unpatchify(frames, p, C)
+
+
 def make_mar_generator(model: STMAR, *, num_prompt_frames: int,
                        maskgit_steps: Optional[int] = None,
                        temperature: float = 1.0, cfg: float = 1.0):

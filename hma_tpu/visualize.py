@@ -2,9 +2,12 @@
 
 Rebuild of hma/visualize.py: reads a `video.bin` + `metadata.json`
 produced by hma_tpu.generate (layout [prompt | pred | gt] per example),
-decodes via the MagVit2 tokenizer, and writes an animated GIF plus a
-comic-strip PNG per example with Prompt / Generated / Ground-truth
-captions (reference: visualize.py:89-110, 172-196, 271-293).
+decodes via the MagVit2 tokenizer — or, for latent streams written by
+`generate --use_feature` (metadata carries `latent_channels`), via the
+SVD temporal VAE, mirroring the reference's dual-codec
+decode_latents_wrapper (reference: visualize.py:124-169) — and writes an
+animated GIF plus a comic-strip PNG per example with Prompt / Generated /
+Ground-truth captions (reference: visualize.py:89-110, 172-196, 271-293).
 """
 
 from __future__ import annotations
@@ -58,6 +61,32 @@ def comic_strip(rows: list[list[Image.Image]], labels: list[str]) -> Image.Image
     return out
 
 
+def make_latent_frame_decoder(vae_checkpoint: str):
+    """(N, h, w, C) raw SVD-VAE latents -> (N, H, W, 3) uint8 frames
+    (reference decode path: visualize.py:152-169; clamp ±25 as in :157)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from hma_tpu.tokenizer.svd_vae import (
+        SVDTemporalVAE,
+        load_svd_vae_torch_weights,
+    )
+
+    params = load_svd_vae_torch_weights(
+        torch.load(vae_checkpoint, map_location="cpu"))
+    vae = SVDTemporalVAE()
+    dec = jax.jit(lambda z: vae.apply(params, z, method=SVDTemporalVAE.decode))
+
+    def decode(lat_nhwc: np.ndarray) -> np.ndarray:
+        z = jnp.asarray(np.clip(lat_nhwc, -25.0, 25.0),
+                        jnp.float32)[None]  # (1, N, h, w, C) as a clip
+        img = np.asarray(dec(z))[0]  # (N, H, W, 3) in [-1, 1]
+        return np.clip((img + 1) * 127.5, 0, 255).astype(np.uint8)
+
+    return decode
+
+
 def main(argv=None):
     args = parse_args(argv)
     token_dir = Path(args.token_dir)
@@ -66,14 +95,22 @@ def main(argv=None):
 
     meta = json.loads((token_dir / "metadata.json").read_text())
     h, w = meta["h"], meta["w"]
-    video = np.fromfile(token_dir / "video.bin",
-                        dtype=np.dtype(meta.get("token_dtype", "uint32"))
-                        ).reshape(-1, h, w)
+    if "latent_channels" in meta:
+        # latent stream from `generate --use_feature`: raw float16
+        # (N, C, h, w); --tokenizer_ckpt is the SVD-VAE torch state dict
+        C = meta["latent_channels"]
+        video = np.fromfile(token_dir / "video.bin", dtype=np.float16) \
+            .reshape(-1, C, h, w).transpose(0, 2, 3, 1)
+        decode = make_latent_frame_decoder(args.tokenizer_ckpt)
+    else:
+        video = np.fromfile(token_dir / "video.bin",
+                            dtype=np.dtype(meta.get("token_dtype", "uint32"))
+                            ).reshape(-1, h, w)
 
-    from hma_tpu.rollout.decode import make_token_decoder
-    from hma_tpu.tokenizer.convert import load_magvit2
+        from hma_tpu.rollout.decode import make_token_decoder
+        from hma_tpu.tokenizer.convert import load_magvit2
 
-    decode = make_token_decoder(*load_magvit2(args.tokenizer_ckpt))
+        decode = make_token_decoder(*load_magvit2(args.tokenizer_ckpt))
 
     n_prompt = meta["num_prompt_frames"]
     window = meta["window_size"]

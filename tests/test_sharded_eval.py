@@ -119,17 +119,67 @@ def continuous_ckpt(tmp_path_factory):
     return tmp_path, data, domain
 
 
-def test_evaluate_feature_sharded_runs(continuous_ckpt):
+@pytest.mark.parametrize("mode", ["teacher_forced", "autoregressive"])
+def test_evaluate_feature_sharded_runs(continuous_ckpt, mode):
     tmp_path, data, domain = continuous_ckpt
     out = evalfeat_mod.main([
         "--checkpoint_dir", str(tmp_path / "run"),
         "--val_data_dir", str(data / f"{domain}_vae_max1000000_val"),
-        "--output_dir", str(tmp_path / "evalf"),
+        "--output_dir", str(tmp_path / f"evalf_{mode}"),
         "--batch_size", "8", "--max_examples", "8",
         "--maskgit_steps", "2", "--num_prompt_frames", "2",
+        "--eval_mode", mode,
     ])
     assert np.isfinite(out["latent_mse"])
     assert out["num_examples"] == 8
+
+
+def test_generate_use_feature_and_visualize(continuous_ckpt, tmp_path,
+                                            monkeypatch):
+    """`generate --use_feature` rolls out STMAR latents and writes the
+    RawFeatureDataset on-disk contract (raw fp16 (N, C, h, w)); visualize
+    reads the latent stream back through its SVD-decode branch (reference:
+    hma/generate.py:116-126, visualize.py:124-169)."""
+    import hma_tpu.generate as gen_mod
+    import hma_tpu.visualize as vis_mod
+
+    tp, data, domain = continuous_ckpt
+    out = tmp_path / "gen_feat"
+    gen_mod.main([
+        "--checkpoint_dir", str(tp / "run"), "--use_feature",
+        "--val_data_dir", str(data / f"{domain}_vae_max1000000_val"),
+        "--output_dir", str(out), "--batch_size", "2", "--max_examples", "2",
+        "--num_prompt_frames", "2", "--maskgit_steps", "2",
+    ])
+    meta = json.loads((out / "metadata.json").read_text())
+    assert meta["latent_channels"] == 4
+    h, w, C = meta["h"], meta["w"], meta["latent_channels"]
+    video = np.fromfile(out / "video.bin", np.float16).reshape(-1, C, h, w)
+    T, n_prompt = meta["window_size"], meta["num_prompt_frames"]
+    per_ex = n_prompt + 2 * (T - n_prompt)
+    assert video.shape[0] == 2 * per_ex
+    # prompt + gt segments must round-trip the raw val latents exactly
+    from hma_tpu.data.datasets import SVD_SCALE, RawFeatureDataset
+
+    ds = RawFeatureDataset(str(data / f"{domain}_vae_max1000000_val"),
+                           window_size=T, use_actions=True, domain=domain)
+    ref = (np.asarray(ds[0]["input_ids"]).reshape(T, h, w, C)
+           / SVD_SCALE).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(video[:n_prompt], ref[:n_prompt].astype(np.float16),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(video[n_prompt + (T - n_prompt):per_ex],
+                               ref[n_prompt:].astype(np.float16),
+                               rtol=1e-3, atol=1e-3)
+    assert np.isfinite(video).all()
+
+    # visualize's latent branch: stub the VAE decoder (weights not bundled)
+    monkeypatch.setattr(
+        vis_mod, "make_latent_frame_decoder",
+        lambda ckpt: lambda lat: np.zeros((len(lat), 8, 8, 3), np.uint8))
+    vis_mod.main(["--token_dir", str(out), "--max_examples", "1",
+                  "--tokenizer_ckpt", "unused"])
+    assert (out / "vis" / "example_0.gif").is_file()
+    assert (out / "vis" / "example_0_comic.png").is_file()
 
 
 def test_app_build_simulator_stmar(continuous_ckpt):

@@ -99,3 +99,31 @@ def test_mar_generation(setup):
     assert np.isfinite(np.asarray(out)).all()
     # generated frames differ from the (masked-out) originals
     assert not np.allclose(np.asarray(out[:, 2:]), np.asarray(lat[:, 2:]))
+
+
+def test_teacher_forced_latents(setup):
+    """Teacher-forced per-frame MAR predictions: right shape, finite, and
+    actually generated (not a copy of the GT input)."""
+    from hma_tpu.rollout.mar import teacher_forced_latents
+
+    cfg, model, params, lat, mask, actions, dom = setup
+    pred = teacher_forced_latents(model, params, lat, actions, dom,
+                                  jax.random.PRNGKey(0), maskgit_steps=4)
+    assert pred.shape == (lat.shape[0], cfg.T - 1, *lat.shape[2:])
+    assert np.isfinite(np.asarray(pred)).all()
+    assert not np.allclose(np.asarray(pred), np.asarray(lat[:, 1:]))
+    # patch_size > 1 exercises the patchify/unpatchify path
+    cfg2 = tiny_config(patch_size=2)
+    model2 = STMAR(cfg2, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    lat2 = jnp.asarray(rng.normal(size=(2, cfg2.T, cfg2.h, cfg2.h,
+                                        cfg2.vae_embed_dim)), jnp.float32)
+    mask2 = jnp.zeros((2, cfg2.T, cfg2.h, cfg2.h), jnp.int32).at[:, 1:].set(1)
+    params2 = model2.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "action_drop": jax.random.PRNGKey(2)},
+        lat2, lat2, actions, dom, mask2)
+    pred2 = teacher_forced_latents(model2, params2, lat2, actions, dom,
+                                   jax.random.PRNGKey(1), maskgit_steps=2)
+    assert pred2.shape == (2, cfg2.T - 1, cfg2.h, cfg2.h, cfg2.vae_embed_dim)
+    assert np.isfinite(np.asarray(pred2)).all()
