@@ -40,7 +40,7 @@ from hma_tpu.parallel.sharded_eval import (
     setup_eval_mesh,
     shard_params,
 )
-from hma_tpu.rollout.maskgit import teacher_forced_logits
+from hma_tpu.rollout.maskgit import autoregressive_logits, teacher_forced_logits
 from hma_tpu.train.trainer import _pad_actions
 from hma_tpu.utils.logging import MetricLogger
 
@@ -55,10 +55,33 @@ def parse_args(argv=None):
     p.add_argument("--maskgit_steps", type=int, default=2)
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--max_examples", type=int, default=200)
+    p.add_argument("--autoregressive_time", action="store_true",
+                   help="past num_prompt_frames, condition each frame on "
+                        "the model's own samples instead of ground truth "
+                        "(reference: evaluate.py:79-82,181-186)")
+    p.add_argument("--num_prompt_frames", type=int, default=None,
+                   help="prompt length for --autoregressive_time "
+                        "(default: the model card's num_prompt_frames)")
     p.add_argument("--tokenizer_ckpt", type=str, default=None,
                    help="magvit2.ckpt for pixel metrics; token metrics only if omitted")
+    p.add_argument("--raw_image_data", action="store_true",
+                   help="val_data_dir holds raw uint8 frames; tokenize "
+                        "them on the fly with --tokenizer_ckpt and use the "
+                        "raw frames as the pixel ground truth (the "
+                        "reference's default when --use_tokenized_images "
+                        "is off, evaluate.py:287-305,333)")
+    p.add_argument("--use_tokenized_images", action="store_true",
+                   help="accepted for reference-script compatibility: "
+                        "pre-tokenized val dirs are already the default here")
+    p.add_argument("--save_outputs_dir", type=str, default=None,
+                   help="dump predicted + ground-truth token windows as "
+                        ".npy (reference: evaluate.py:70-77)")
     p.add_argument("--num_action_trials", type=int, default=5)
     p.add_argument("--perturbation_scale", type=float, default=1.0)
+    p.add_argument("--perturbation_type", type=str, default="gaussian",
+                   choices=["gaussian"],
+                   help="dPSNR action perturbation (the reference "
+                        "implements gaussian only, evaluate.py:87-93)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
@@ -74,30 +97,50 @@ def main(argv=None):
                            batch_hint=args.batch_size)
     model, params, config = load_model(args.checkpoint_dir)
     params = shard_params(params, mesh)
-    dataset = RawTokenDataset(args.val_data_dir, window_size=config.T,
-                              use_actions=config.use_actions,
-                              name=args.domain or "")
+    if args.raw_image_data:
+        assert args.tokenizer_ckpt, "--raw_image_data requires --tokenizer_ckpt"
+        from hma_tpu.data.datasets import RawImageDataset
+
+        dataset = RawImageDataset(args.val_data_dir, window_size=config.T,
+                                  use_actions=config.use_actions,
+                                  domain=args.domain)
+    else:
+        dataset = RawTokenDataset(args.val_data_dir, window_size=config.T,
+                                  use_actions=config.use_actions,
+                                  name=args.domain or "")
     domain = args.domain or dataset.name
     domain_id = jnp.asarray(
         config.action_domains.index(domain)
         if config.action_domains and domain in config.action_domains else 0,
         jnp.int32)
 
-    decode = None
+    decode = encode = None
     if args.tokenizer_ckpt:
         from hma_tpu.rollout.decode import make_token_decoder
         from hma_tpu.tokenizer.convert import load_magvit2
 
-        decode = make_token_decoder(*load_magvit2(args.tokenizer_ckpt))
+        tok_params, tok_cfg = load_magvit2(args.tokenizer_ckpt)
+        decode = make_token_decoder(tok_params, tok_cfg)
+        if args.raw_image_data:
+            from hma_tpu.data.encode_openx import make_magvit_encoder
+
+            encode = make_magvit_encoder(tok_params, tok_cfg)
 
     logger = MetricLogger(args.output_dir, project="video_val",
                           config=vars(args),
                           use_wandb=args.use_wandb and dist.is_primary())
 
     def _tf(p, tok, act, dom, key):
-        samples, logits = teacher_forced_logits(
-            model, p, tok, act, dom, key, maskgit_steps=args.maskgit_steps,
-            temperature=args.temperature)
+        if args.autoregressive_time:
+            n_prompt = args.num_prompt_frames or config.num_prompt_frames
+            samples, logits = autoregressive_logits(
+                model, p, tok, n_prompt, act, dom, key,
+                maskgit_steps=args.maskgit_steps,
+                temperature=args.temperature)
+        else:
+            samples, logits = teacher_forced_logits(
+                model, p, tok, act, dom, key, maskgit_steps=args.maskgit_steps,
+                temperature=args.temperature)
         # reduced inside jit: global-batch means, replicated on every host
         tf = teacher_forced_metrics(logits, tok[:, 1:], config.factored_vocab_size)
         return samples, tf
@@ -115,22 +158,24 @@ def main(argv=None):
     with mesh:
         token_metrics, host_metrics = _eval_loop(
             args, mesh, model, params, config, dataset, domain_id,
-            tf_jit, decode, tf_jit_rand=tf_jit_rand)
+            tf_jit, decode, tf_jit_rand=tf_jit_rand, encode=encode)
 
     out = {k: m.mean() for k, m in token_metrics.items() if m.count > 0}
     # host-side (pixel) metrics are per-process means over equal shards
     out.update(dist.aggregate_host_metrics(
         {k: m.mean() for k, m in host_metrics.items() if m.count > 0}))
     out["num_examples"] = token_metrics["loss"].count
+    # key prefix distinguishes eval modes (reference: evaluate.py:403)
+    prefix = "autoregressive" if args.autoregressive_time else "teacher_force"
     if dist.is_primary():
-        logger.log({f"val/{domain}_{k}": v for k, v in out.items()})
+        logger.log({f"val/{domain}_{prefix}_{k}": v for k, v in out.items()})
     logger.close()
     print(json.dumps(out))
     return out
 
 
 def _eval_loop(args, mesh, model, params, config, dataset, domain_id,
-               tf_jit, decode, tf_jit_rand=None):
+               tf_jit, decode, tf_jit_rand=None, encode=None):
     token_metrics = {k: AvgMetric() for k in
                      ["loss", "perplexity", "acc", "gen_time"]}
     host_metrics = {k: AvgMetric() for k in
@@ -148,8 +193,18 @@ def _eval_loop(args, mesh, model, params, config, dataset, domain_id,
         # this process's contiguous slice of the global batch
         my_idx = dist.local_slice(np.arange(n_done, n_done + B))
         items = [dataset[int(i)] for i in my_idx]
-        local = {"tokens": np.stack([it["input_ids"] for it in items])
-                 .reshape(len(items), config.T, -1).astype(np.int32)}
+        raw_frames = None
+        if "images" in items[0]:
+            # raw-image val dir: tokenize on the fly; raw frames become
+            # the pixel ground truth (reference: evaluate.py:287-305,333)
+            raw_frames = np.stack([it["images"] for it in items])  # (b,T,h,w,3)
+            b = len(items)
+            tok = encode(np.clip(raw_frames, 0, 255)
+                         .reshape(-1, *raw_frames.shape[2:]).astype(np.uint8))
+            local = {"tokens": tok.reshape(b, config.T, -1).astype(np.int32)}
+        else:
+            local = {"tokens": np.stack([it["input_ids"] for it in items])
+                     .reshape(len(items), config.T, -1).astype(np.int32)}
         if "action_ids" in items[0]:
             local["actions"] = _pad_actions(
                 np.stack([it["action_ids"] for it in items]).astype(np.float32),
@@ -167,15 +222,32 @@ def _eval_loop(args, mesh, model, params, config, dataset, domain_id,
             token_metrics[k].update(tf[k], B)
         token_metrics["gen_time"].update(gen_time, B)
 
+        if args.save_outputs_dir:
+            # per-process shard dump (reference: evaluate.py:70-77)
+            from pathlib import Path
+
+            d = Path(args.save_outputs_dir)
+            d.mkdir(parents=True, exist_ok=True)
+            r = jax.process_index()
+            np.save(d / f"pred_{n_done}_r{r}.npy", local_rows(samples))
+            np.save(d / f"gt_{n_done}_r{r}.npy", local_rows(tokens))
+
         if decode is not None:
             # decode on host, each process over its own shard
             samples_l = local_rows(samples)
-            gt_l = local_rows(tokens)[:, 1:]
             nloc = len(samples_l)
             t0 = time.time()
             pred_px = decode(samples_l.reshape(-1, config.h, config.w))
             dec_time = (time.time() - t0) / max(nloc, 1)
-            gt_px = decode(gt_l.reshape(-1, config.h, config.w))
+            if raw_frames is not None:
+                gt_px = np.clip(raw_frames[:, 1:], 0, 255).astype(np.uint8) \
+                    .reshape(-1, *raw_frames.shape[2:])
+                assert gt_px.shape[1:3] == pred_px.shape[1:3], (
+                    "raw-image resolution must match the tokenizer's decode "
+                    f"resolution: {gt_px.shape} vs {pred_px.shape}")
+            else:
+                gt_l = local_rows(tokens)[:, 1:]
+                gt_px = decode(gt_l.reshape(-1, config.h, config.w))
             host_metrics["dec_time"].update(dec_time, nloc)
             gt_psnr = float(np.mean(batch_psnr(pred_px, gt_px)))
             host_metrics["psnr"].update(gt_psnr, nloc)

@@ -240,6 +240,50 @@ def teacher_forced_logits(model: STMaskGIT, params, tokens_TS, action_ids,
     return jnp.moveaxis(samples, 0, 1), jnp.moveaxis(logits, 0, 1)
 
 
+def autoregressive_logits(model: STMaskGIT, params, tokens_TS,
+                          num_prompt_frames: int, action_ids, domain_id, key,
+                          *, maskgit_steps: int = 2, temperature: float = 0.0,
+                          unmask_mode: str = "random"):
+    """Per-frame MaskGIT samples/logits with *autoregressive* history.
+
+    Like `teacher_forced_logits`, but once t exceeds the prompt the KV
+    cache is filled with the model's own previous-frame samples instead of
+    ground truth — the reference's `--autoregressive_time` eval mode
+    (hma/evaluate.py:79-82,181-186: `inputs_masked[:, timestep-1] =
+    samples_HW` past num_prompt_frames).
+
+    Returns (samples (B, T-1, S), logits (B, T-1, S, nv, fv)).
+    """
+    cfg = model.config
+    B, T, S = tokens_TS.shape
+    k_cache, v_cache = model.apply(params, B, with_actions=action_ids is not None,
+                                   method=STMaskGIT.init_cache)
+
+    def body(carry, xs):
+        k_cache, v_cache, prev_pred = carry
+        t, key = xs
+        # frame t-1 context: ground truth inside the prompt, the model's
+        # own sample after it
+        fill = jnp.where(t - 1 < num_prompt_frames,
+                         jnp.take(tokens_TS, t - 1, axis=1), prev_pred)
+        _, k_cache, v_cache = model.apply(
+            params, fill, t - 1, k_cache, v_cache, action_ids, domain_id,
+            method=STMaskGIT.frame_logits)
+        masked = jnp.full((B, S), model.mask_token_id, jnp.int32)
+        tokens_t, logits_t = _maskgit_refine(
+            model, params, masked, t, k_cache, v_cache, action_ids, domain_id,
+            key, maskgit_steps=maskgit_steps, temperature=temperature,
+            unmask_mode=unmask_mode)
+        return (k_cache, v_cache, tokens_t), (tokens_t, logits_t)
+
+    ts = jnp.arange(1, T)
+    keys = jax.random.split(key, T - 1)
+    prev0 = jnp.take(tokens_TS, 0, axis=1)  # unused until t > prompt
+    _, (samples, logits) = jax.lax.scan(
+        body, (k_cache, v_cache, prev0), (ts, keys))
+    return jnp.moveaxis(samples, 0, 1), jnp.moveaxis(logits, 0, 1)
+
+
 def generate_horizon(model: STMaskGIT, params, prompt_TS, out_t_min: int,
                      out_t_max: int, action_ids, domain_id, key, *,
                      maskgit_steps: int = 2, temperature: float = 0.0,

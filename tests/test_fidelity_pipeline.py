@@ -146,6 +146,10 @@ def test_eval_generate_visualize_with_fixture_ckpt(fixture_ckpt, tmp_path):
         write_token_dataset(data / f"{domain}_magvit_max1000000_{split}",
                             video, segs, actions,
                             {"name": domain, "vocab_size": 2**18, "s": 16})
+        if split == "val":  # raw-image twin of the val split
+            write_token_dataset(data / f"{domain}_image_max1000000_val",
+                                frames, segs, actions,
+                                {"name": domain, "h": 8, "w": 8})
 
     cfg = GenieConfig(num_layers=1, num_heads=2, d_model=32, T=4, S=16,
                       image_vocab_size=2**18, num_factored_vocabs=2,
@@ -172,6 +176,26 @@ def test_eval_generate_visualize_with_fixture_ckpt(fixture_ckpt, tmp_path):
         assert key in out and np.isfinite(out[key]), (key, out)
     # random-weight 2-step model: PSNR must still be a sane pixel number
     assert 0.0 < out["psnr"] < 60.0
+
+    # raw-image val dir (on-the-fly tokenization, raw frames as pixel GT)
+    # + autoregressive-time eval + prediction dumps, in one pass
+    # (reference: evaluate.py:79-82,287-305,333 and :70-77)
+    out_ar = eval_main([
+        "--checkpoint_dir", str(tmp_path / "run"),
+        "--val_data_dir", str(data / f"{domain}_image_max1000000_val"),
+        "--output_dir", str(tmp_path / "eval_ar"),
+        "--batch_size", "4", "--max_examples", "4", "--maskgit_steps", "2",
+        "--tokenizer_ckpt", str(ckpt), "--num_action_trials", "1",
+        "--raw_image_data", "--autoregressive_time",
+        "--num_prompt_frames", "2",
+        "--save_outputs_dir", str(tmp_path / "dumps"),
+    ])
+    for key in ("loss", "acc", "psnr", "delta_psnr"):
+        assert key in out_ar and np.isfinite(out_ar[key]), (key, out_ar)
+    dumps = list((tmp_path / "dumps").iterdir())
+    assert any(p.name.startswith("pred_") for p in dumps), dumps
+    pred0 = np.load(tmp_path / "dumps" / "pred_0_r0.npy")
+    assert pred0.shape == (4, 3, 16)  # (B, T-1, S)
 
     gen_out = tmp_path / "genout"
     generate_main([

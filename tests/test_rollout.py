@@ -117,3 +117,27 @@ def test_generate_horizon():
     assert out.shape == (tokens.shape[0], 2, cfg.S)
     assert int(out.max()) < cfg.image_vocab_size
     assert int(out.min()) >= 0
+
+
+def test_autoregressive_logits_degenerates_to_teacher_forced():
+    """With the prompt covering every frame, autoregressive_logits must be
+    bit-identical to teacher_forced_logits (same key schedule, same cache
+    fills); with a short prompt it must diverge past the prompt but agree
+    on the first generated frame (identical GT context at t=1)."""
+    from hma_tpu.rollout.maskgit import autoregressive_logits
+
+    cfg, model, params, tokens, actions, dom = setup_model()
+    key = jax.random.PRNGKey(3)
+    tf_s, tf_l = teacher_forced_logits(model, params, tokens, actions, dom,
+                                       key, maskgit_steps=2)
+    ar_s, ar_l = autoregressive_logits(model, params, tokens, cfg.T, actions,
+                                       dom, key, maskgit_steps=2)
+    np.testing.assert_array_equal(np.asarray(ar_s), np.asarray(tf_s))
+    np.testing.assert_array_equal(np.asarray(ar_l), np.asarray(tf_l))
+
+    ar2_s, _ = autoregressive_logits(model, params, tokens, 1, actions, dom,
+                                     key, maskgit_steps=2)
+    # t=1 conditions on GT frame 0 in both modes -> identical samples
+    np.testing.assert_array_equal(np.asarray(ar2_s[:, 0]), np.asarray(tf_s[:, 0]))
+    # later frames condition on the model's own samples -> they diverge
+    assert not np.array_equal(np.asarray(ar2_s[:, 1:]), np.asarray(tf_s[:, 1:]))
