@@ -43,8 +43,11 @@ def parse_args(argv=None):
     p.add_argument("--temperature", type=float, default=None,
                    help="default: 0.0 greedy (discrete) / 1.0 (--use_feature)")
     p.add_argument("--num_prompt_frames", type=int, default=8)
+    p.add_argument("--window_size", type=int, default=None,
+                   help="frames per rollout window (default: the model "
+                        "card's T; must be <= T)")
     p.add_argument("--example_ind", type=int, default=0)
-    p.add_argument("--max_examples", type=int, default=16)
+    p.add_argument("--max_examples", "--max_example", type=int, default=16)
     p.add_argument("--teacher_force_time", action="store_true")
     p.add_argument("--use_feature", action="store_true",
                    help="continuous family: STMAR checkpoint over VAE latents")
@@ -75,7 +78,9 @@ def main(argv=None):
         return main_feature(args)
     model, params, config = load_model(args.checkpoint_dir)
 
-    dataset = RawTokenDataset(args.val_data_dir, window_size=config.T,
+    T = args.window_size or config.T
+    assert T <= config.T, f"--window_size {T} exceeds the model's T={config.T}"
+    dataset = RawTokenDataset(args.val_data_dir, window_size=T,
                               use_actions=config.use_actions,
                               name=args.domain or "")
     domain = args.domain or dataset.name
@@ -87,7 +92,7 @@ def main(argv=None):
     B = min(args.batch_size, args.max_examples)
     items = [dataset[args.example_ind + i] for i in range(B)]
     tokens = np.stack([it["input_ids"] for it in items]).reshape(
-        B, config.T, -1).astype(np.int32)
+        B, T, -1).astype(np.int32)
     actions = None
     if "action_ids" in items[0]:
         actions = jnp.asarray(_pad_actions(
@@ -126,7 +131,7 @@ def main(argv=None):
         "vocab_size": int(config.image_vocab_size),
         "name": domain,
         "num_prompt_frames": args.num_prompt_frames,
-        "window_size": int(config.T),
+        "window_size": int(T),
         "generation_layout": "prompt,pred,gt",
     }
     with open(out / "metadata.json", "w") as f:

@@ -90,3 +90,18 @@ def test_generate_cli(synth_env):
     # layout: per example prompt(2) + pred(2) + gt(2) = 6 frames, 2 examples
     assert video.shape[0] == 12
     assert video.max() < meta["vocab_size"]
+
+    # --window_size shrinks the rollout window below the card's T
+    gen_out3 = root / "genout_w3"
+    generate_main([
+        "--checkpoint_dir", str(out),
+        "--val_data_dir", str(data / f"{domain}_magvit_max1000000_val"),
+        "--output_dir", str(gen_out3),
+        "--batch_size", "2", "--num_prompt_frames", "2",
+        "--maskgit_steps", "2", "--window_size", "3",
+    ])
+    meta3 = json.loads((gen_out3 / "metadata.json").read_text())
+    assert meta3["window_size"] == 3
+    video3 = np.fromfile(gen_out3 / "video.bin", dtype=np.uint32)
+    # prompt(2) + pred(1) + gt(1) = 4 frames per example, 2 examples
+    assert video3.size == 2 * 4 * meta3["h"] * meta3["w"]
