@@ -28,6 +28,11 @@ def parse_args(argv=None):
     p.add_argument("--tokenizer_ckpt", type=str, default="data/magvit2.ckpt")
     p.add_argument("--fps", type=int, default=2)
     p.add_argument("--max_examples", type=int, default=8)
+    p.add_argument("--offset", type=int, default=0,
+                   help="first example index to render (reference: "
+                        "visualize.py:51)")
+    p.add_argument("--disable_comic", action="store_true",
+                   help="skip the comic-strip PNGs (reference: :67)")
     p.add_argument("--stride", type=int, default=1)
     return p.parse_args(argv)
 
@@ -116,9 +121,9 @@ def main(argv=None):
     window = meta["window_size"]
     gen = window - n_prompt
     per_ex = n_prompt + 2 * gen  # prompt | pred | gt
-    n_ex = min(len(video) // per_ex, args.max_examples)
+    n_ex = min(len(video) // per_ex, args.offset + args.max_examples)
 
-    for i in range(n_ex):
+    for i in range(args.offset, n_ex):
         chunk = video[i * per_ex:(i + 1) * per_ex]
         px = decode(chunk)
         imgs = [Image.fromarray(f) for f in px]
@@ -128,10 +133,11 @@ def main(argv=None):
         export_to_gif([caption_image(f, "Prompt") for f in prompt]
                       + [caption_image(f, "Generated") for f in pred],
                       str(out_dir / f"example_{i}.gif"), args.fps)
-        comic = comic_strip([prompt + pred, prompt + gt],
-                            ["Prompt|Generated", "Prompt|Ground-truth"])
-        comic.save(out_dir / f"example_{i}_comic.png")
-    print(f"wrote {n_ex} examples to {out_dir}")
+        if not args.disable_comic:
+            comic = comic_strip([prompt + pred, prompt + gt],
+                                ["Prompt|Generated", "Prompt|Ground-truth"])
+            comic.save(out_dir / f"example_{i}_comic.png")
+    print(f"wrote {max(n_ex - args.offset, 0)} examples to {out_dir}")
 
 
 if __name__ == "__main__":
