@@ -143,6 +143,23 @@ struct LoaderConfig {
   int queue_depth;
 };
 
+// Valid window start indices: windows must not straddle segment
+// boundaries (reference: hma/data.py:237-244). Shared by both loaders so
+// the sampling rule cannot drift between the token and feature paths.
+static std::vector<int64_t> compute_valid_starts(int64_t num_images,
+                                                 int window_size, int stride,
+                                                 bool has_segs,
+                                                 const int32_t* segs) {
+  std::vector<int64_t> out;
+  int64_t video_len = (int64_t)(window_size - 1) * stride;
+  int64_t n = num_images - video_len - stride;
+  for (int64_t s = 0; s < n; ++s) {
+    if (has_segs && segs[s] != segs[s + video_len]) continue;
+    out.push_back(s);
+  }
+  return out;
+}
+
 class Loader {
  public:
   Loader(const LoaderConfig& cfg, const char* video_path,
@@ -152,7 +169,9 @@ class Loader {
     if (seg_path && seg_path[0]) has_segs_ = segs_.open(seg_path);
     if (actions_path && actions_path[0]) has_actions_ = acts_.open(actions_path);
     if (!ok_) return;
-    build_valid_starts();
+    valid_starts_ = compute_valid_starts(cfg_.num_images, cfg_.window_size,
+                                         cfg_.stride, has_segs_,
+                                         has_segs_ ? segs() : nullptr);
     if (valid_starts_.empty()) { ok_ = false; return; }
     for (int i = 0; i < cfg_.num_threads; ++i)
       workers_.emplace_back([this, i] { worker(i); });
@@ -180,17 +199,6 @@ class Loader {
   const uint32_t* video() const { return (const uint32_t*)video_.data; }
   const int32_t* segs() const { return (const int32_t*)segs_.data; }
   const float* acts() const { return (const float*)acts_.data; }
-
-  void build_valid_starts() {
-    // windows must not straddle segment boundaries
-    // (reference: hma/data.py:237-244)
-    int64_t video_len = (int64_t)(cfg_.window_size - 1) * cfg_.stride;
-    int64_t n = cfg_.num_images - video_len - cfg_.stride;
-    for (int64_t s = 0; s < n; ++s) {
-      if (has_segs_ && segs()[s] != segs()[s + video_len]) continue;
-      valid_starts_.push_back(s);
-    }
-  }
 
   void collate(std::mt19937_64& rng, Batch* out) {
     const int T = cfg_.window_size, S = cfg_.h * cfg_.w, B = cfg_.batch_size;
@@ -340,12 +348,9 @@ class FeatureLoader {
     if (seg_path && seg_path[0]) has_segs_ = segs_.open(seg_path);
     if (actions_path && actions_path[0]) has_actions_ = acts_.open(actions_path);
     if (!ok_) return;
-    int64_t video_len = (int64_t)(cfg_.window_size - 1) * cfg_.stride;
-    int64_t n = cfg_.num_images - video_len - cfg_.stride;
-    for (int64_t s = 0; s < n; ++s) {
-      if (has_segs_ && segs()[s] != segs()[s + video_len]) continue;
-      valid_starts_.push_back(s);
-    }
+    valid_starts_ = compute_valid_starts(cfg_.num_images, cfg_.window_size,
+                                         cfg_.stride, has_segs_,
+                                         has_segs_ ? segs() : nullptr);
     if (valid_starts_.empty()) { ok_ = false; return; }
     for (int i = 0; i < cfg_.num_threads; ++i)
       workers_.emplace_back([this, i] { worker(i); });

@@ -77,7 +77,9 @@ def parse_args(argv=None):
                    help="dump predicted + ground-truth token windows as "
                         ".npy (reference: evaluate.py:70-77)")
     p.add_argument("--num_action_trials", type=int, default=5)
-    p.add_argument("--perturbation_scale", type=float, default=1.0)
+    p.add_argument("--perturbation_scale", type=float, default=0.1,
+                   help="sigma of the dPSNR action noise (reference "
+                        "default 0.1, evaluate.py:90-93)")
     p.add_argument("--perturbation_type", type=str, default="gaussian",
                    choices=["gaussian"],
                    help="dPSNR action perturbation (the reference "
@@ -132,7 +134,9 @@ def main(argv=None):
 
     def _tf(p, tok, act, dom, key):
         if args.autoregressive_time:
-            n_prompt = args.num_prompt_frames or config.num_prompt_frames
+            n_prompt = (args.num_prompt_frames
+                        if args.num_prompt_frames is not None
+                        else config.num_prompt_frames)
             samples, logits = autoregressive_logits(
                 model, p, tok, n_prompt, act, dom, key,
                 maskgit_steps=args.maskgit_steps,
@@ -187,6 +191,10 @@ def _eval_loop(args, mesh, model, params, config, dataset, domain_id,
     assert B_full > 0, (
         f"--batch_size {args.batch_size} smaller than the data-parallel "
         f"degree; raise it to a multiple of dp*fsdp*processes")
+    assert total > 0, (
+        f"min(--max_examples {args.max_examples}, len(dataset) "
+        f"{len(dataset)}) rounds to 0 over the data-parallel degree — "
+        f"nothing would be evaluated")
     n_done = 0
     while n_done < total:
         B = min(B_full, total - n_done)

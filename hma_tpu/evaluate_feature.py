@@ -161,7 +161,7 @@ def main(argv=None):
     h = w = config.h
     C = config.vae_embed_dim
 
-    def load_global(lo, B, key):
+    def load_global(lo, B):
         my_idx = dist.local_slice(np.arange(lo, lo + B))
         items = [dataset[int(i)] for i in my_idx]
         local = {"lat": np.stack([it["input_ids"] for it in items])
@@ -178,12 +178,16 @@ def main(argv=None):
     assert B_full > 0, (
         f"--batch_size {args.batch_size} smaller than the data-parallel "
         f"degree; raise it to a multiple of dp*fsdp*processes")
+    assert total > 0, (
+        f"min(--max_examples {args.max_examples}, len(dataset) "
+        f"{len(dataset)}) rounds to 0 over the data-parallel degree — "
+        f"nothing would be evaluated")
     n_done = 0
     with mesh:
         while n_done < total:
             B = min(B_full, total - n_done)
             key, k_b = jax.random.split(key)
-            lat, actions = load_global(n_done, B, k_b)
+            lat, actions = load_global(n_done, B)
             t0 = time.time()
             out, mse = gen_jit(params, lat, actions, domain_id, k_b)
             mse = float(mse)
@@ -205,7 +209,7 @@ def main(argv=None):
         with mesh:
             for i in range(0, total, B_full):
                 B2 = min(B_full, total - i)
-                lat, acts = load_global(i, B2, None)
+                lat, acts = load_global(i, B2)
                 out, _ = gen_jit(params, lat, acts, domain_id,
                                  jax.random.PRNGKey(100 + i))
                 preds.append(local_rows(out))

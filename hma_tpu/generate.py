@@ -142,13 +142,18 @@ def main(argv=None):
 def main_feature(args):
     """Continuous rollout (reference: hma/generate.py:116-126): STMAR over
     SVD-VAE latents, output = [prompt | pred | gt] raw float16 latents in
-    the RawFeatureDataset on-disk layout ((N, C, h, w), unscaled)."""
+    the RawFeatureDataset on-disk layout ((N, C, h, w), unscaled).
+    Honors --window_size and --teacher_force_time like the discrete path
+    (the reference shares both branches across families, generate.py:124,
+    157-170)."""
     from hma_tpu.data.datasets import SVD_SCALE, RawFeatureDataset
     from hma_tpu.evaluate_feature import load_mar_model
-    from hma_tpu.rollout.mar import make_mar_generator
+    from hma_tpu.rollout.mar import make_mar_generator, teacher_forced_latents
 
     model, params, config = load_mar_model(args.checkpoint_dir)
-    dataset = RawFeatureDataset(args.val_data_dir, window_size=config.T,
+    T = args.window_size or config.T
+    assert T <= config.T, f"--window_size {T} exceeds the model's T={config.T}"
+    dataset = RawFeatureDataset(args.val_data_dir, window_size=T,
                                 use_actions=config.use_actions,
                                 domain=args.domain)
     domain = args.domain or dataset.name
@@ -162,7 +167,7 @@ def main_feature(args):
     h, w, C = items[0]["h"], items[0]["w"], items[0]["c"]
     # items are (T*h*w, C) x SVD_SCALE; the MAR engine consumes (B, T, h, w, C)
     lat = np.stack([it["input_ids"] for it in items]).reshape(
-        B, config.T, h, w, C).astype(np.float32)
+        B, T, h, w, C).astype(np.float32)
     actions = None
     if "action_ids" in items[0]:
         actions = jnp.asarray(_pad_actions(
@@ -170,11 +175,20 @@ def main_feature(args):
             config.max_d_action))
 
     temperature = args.temperature if args.temperature is not None else 1.0
-    run = make_mar_generator(model, num_prompt_frames=args.num_prompt_frames,
-                             maskgit_steps=args.maskgit_steps,
-                             temperature=temperature, cfg=args.cfg)
-    pred = np.asarray(run(params, jnp.asarray(lat), actions, domain_id,
-                          jax.random.PRNGKey(args.seed)))
+    key = jax.random.PRNGKey(args.seed)
+    if args.teacher_force_time:
+        frames = teacher_forced_latents(
+            model, params, jnp.asarray(lat), actions, domain_id, key,
+            maskgit_steps=args.maskgit_steps, temperature=temperature,
+            cfg=args.cfg)
+        pred = np.concatenate([lat[:, :1], np.asarray(frames)], axis=1)
+    else:
+        run = make_mar_generator(model,
+                                 num_prompt_frames=args.num_prompt_frames,
+                                 maskgit_steps=args.maskgit_steps,
+                                 temperature=temperature, cfg=args.cfg)
+        pred = np.asarray(run(params, jnp.asarray(lat), actions, domain_id,
+                              key))
 
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -194,7 +208,7 @@ def main_feature(args):
         "token_dtype": "float16",
         "name": domain,
         "num_prompt_frames": args.num_prompt_frames,
-        "window_size": int(config.T),
+        "window_size": int(T),
         "generation_layout": "prompt,pred,gt",
     }
     with open(out / "metadata.json", "w") as f:

@@ -246,11 +246,17 @@ def autoregressive_logits(model: STMaskGIT, params, tokens_TS,
                           unmask_mode: str = "random"):
     """Per-frame MaskGIT samples/logits with *autoregressive* history.
 
-    Like `teacher_forced_logits`, but once t exceeds the prompt the KV
-    cache is filled with the model's own previous-frame samples instead of
-    ground truth — the reference's `--autoregressive_time` eval mode
-    (hma/evaluate.py:79-82,181-186: `inputs_masked[:, timestep-1] =
-    samples_HW` past num_prompt_frames).
+    Matches the reference's `--autoregressive_time` eval mode EXACTLY
+    (hma/evaluate.py:79-82,181-186): each timestep re-clones the
+    ground-truth context and overwrites only the *immediately previous*
+    frame with the model's sample (when past the prompt) — samples do NOT
+    accumulate in the context. Frame t's context is
+    [GT_0 .. GT_{t-2}, sample_{t-1}].
+
+    Cached formulation: per step, slot t-2 is re-filled with ground truth
+    (undoing the previous step's sample fill) before slot t-1 is filled
+    with the sample; the sample frame's deep-layer KVs thereby condition
+    on the all-GT prefix, exactly like the reference's fresh full forward.
 
     Returns (samples (B, T-1, S), logits (B, T-1, S, nv, fv)).
     """
@@ -262,6 +268,12 @@ def autoregressive_logits(model: STMaskGIT, params, tokens_TS,
     def body(carry, xs):
         k_cache, v_cache, prev_pred = carry
         t, key = xs
+        # restore ground truth at slot t-2 (no-op value-wise for t <= 1
+        # and inside the prompt, where the slot already holds GT)
+        tm2 = jnp.maximum(t - 2, 0)
+        _, k_cache, v_cache = model.apply(
+            params, jnp.take(tokens_TS, tm2, axis=1), tm2, k_cache, v_cache,
+            action_ids, domain_id, method=STMaskGIT.frame_logits)
         # frame t-1 context: ground truth inside the prompt, the model's
         # own sample after it
         fill = jnp.where(t - 1 < num_prompt_frames,

@@ -58,7 +58,10 @@ def _make_latent_decoder(vae_checkpoint: str):
     decode = jax.jit(lambda z: vae.apply(params, z, method=SVDTemporalVAE.decode))
 
     def decode_latents(lat_hwc: np.ndarray) -> np.ndarray:
-        z = jnp.asarray(np.clip(lat_hwc, -25.0, 25.0) / SVD_SCALE,
+        # clamp the RAW (unscaled) latents to +/-25, like the reference
+        # (hma/visualize.py:157); clamping before unscaling would admit
+        # raw values up to ~137 on a diverging rollout
+        z = jnp.asarray(np.clip(lat_hwc / SVD_SCALE, -25.0, 25.0),
                         jnp.float32)[None, None]
         img = np.asarray(decode(z))[0, 0]
         return np.clip((img + 1) * 127.5, 0, 255).astype(np.uint8)

@@ -141,3 +141,59 @@ def test_autoregressive_logits_degenerates_to_teacher_forced():
     np.testing.assert_array_equal(np.asarray(ar2_s[:, 0]), np.asarray(tf_s[:, 0]))
     # later frames condition on the model's own samples -> they diverge
     assert not np.array_equal(np.asarray(ar2_s[:, 1:]), np.asarray(tf_s[:, 1:]))
+
+
+def test_autoregressive_logits_matches_reference_context_semantics():
+    """Reference --autoregressive_time context for frame t is
+    [GT_0 .. GT_{t-2}, sample_{t-1}] — GT everywhere except the
+    immediately previous frame (hma/evaluate.py:181-186; samples never
+    accumulate). Greedy sampling is key-free, so the cached engine must
+    match a naive full-forward oracle bit-for-bit."""
+    from hma_tpu.rollout.maskgit import _maskgit_refine, autoregressive_logits
+
+    cfg, model, params, tokens, actions, dom = setup_model()
+    B, T, S = tokens.shape
+    n_prompt = 1
+    mask_id = cfg.image_vocab_size
+    ns = maskgit_mask_counts(2, S)
+
+    def naive_frame(inp_TS, t):
+        """Refine frame t with FULL forwards on explicit context inp_TS."""
+        unmasked = jnp.zeros((B, S), bool)
+        tokens_t = jnp.full((B, S), mask_id, jnp.int32)
+        for step in range(2):
+            cur = inp_TS.at[:, t].set(tokens_t)
+            logits_full, _ = model.apply(params, cur, actions, dom,
+                                         method=STMaskGIT.compute_logits)
+            nv, fv = cfg.num_factored_vocabs, cfg.factored_vocab_size
+            lt = logits_full[:, :, t].reshape(B, nv, fv, cfg.h, cfg.w)
+            lt = lt.transpose(0, 3, 4, 1, 2).reshape(B, S, nv, fv)
+            samples, confidence = _sample_factored(lt, jax.random.PRNGKey(0),
+                                                   0.0, fv)
+            prev_unmasked = unmasked
+            n = ns[step]
+            if n > 0:
+                conf = jnp.where(unmasked, jnp.inf, confidence)
+                lowest = _mask_lowest(conf, n)
+                unmasked = unmasked | ~lowest
+                samples = jnp.where(lowest, mask_id, samples)
+            else:
+                unmasked = jnp.ones_like(unmasked)
+            samples = jnp.where(prev_unmasked, tokens_t, samples)
+            tokens_t = samples
+        return tokens_t
+
+    expected = []
+    prev = tokens[:, 0]
+    for t in range(1, T):
+        inp = jnp.where((jnp.arange(T) < t)[None, :, None], tokens, mask_id)
+        if t - 1 >= n_prompt:  # only the immediately previous frame
+            inp = inp.at[:, t - 1].set(prev)
+        prev = naive_frame(inp, t)
+        expected.append(np.asarray(prev))
+
+    got, _ = autoregressive_logits(model, params, tokens, n_prompt, actions,
+                                   dom, jax.random.PRNGKey(0),
+                                   maskgit_steps=2, unmask_mode="greedy")
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.stack(expected, axis=1))
