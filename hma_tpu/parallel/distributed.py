@@ -53,6 +53,14 @@ def init_distributed(coordinator_address: Optional[str] = None,
         local_device_ids = env.get("HMA_TPU_LOCAL_DEVICE_IDS")
     if coordinator_address is None or not num_processes or num_processes <= 1:
         return False
+    # already initialized (e.g. an eval entry point after training in the
+    # same process)? jax.process_count() would itself initialize the XLA
+    # backend — too early on the first call — so probe the distributed
+    # client state directly.
+    from jax._src import distributed as _jax_distributed
+
+    if getattr(_jax_distributed.global_state, "client", None) is not None:
+        return True
     kwargs = {}
     if local_device_ids:
         kwargs["local_device_ids"] = [int(x) for x in local_device_ids.split(",")]

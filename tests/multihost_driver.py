@@ -35,6 +35,21 @@ def main():
     print("MULTIHOST_OK", jax.process_index(),
           json.dumps({k: float(v) for k, v in metrics.items()}), flush=True)
 
+    # Cross-process sharded eval CLI: exercises local_slice +
+    # make_array_from_process_local_data + in-jit metric reduction with
+    # real process boundaries (VERDICT r2 item 4's done-criterion).
+    from hma_tpu.evaluate import main as eval_main
+
+    out = eval_main([
+        "--checkpoint_dir", str(root / "out"),
+        "--val_data_dir", str(root / "data" /
+                              "language_table_magvit_max1000000_val"),
+        "--output_dir", str(root / "out" / f"eval_p{jax.process_index()}"),
+        "--batch_size", "8", "--max_examples", "16", "--maskgit_steps", "2",
+    ])
+    print("MULTIHOST_EVAL_OK", jax.process_index(),
+          json.dumps({k: float(v) for k, v in out.items()}), flush=True)
+
 
 if __name__ == "__main__":
     main()

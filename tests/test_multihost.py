@@ -97,6 +97,20 @@ def test_two_process_training(mh_env):
     assert set(finals) == {0, 1}
     np.testing.assert_allclose(finals[0]["loss"], finals[1]["loss"], rtol=1e-5)
 
+    # cross-process sharded eval: in-jit reduction must yield identical
+    # replicated metrics on both processes
+    evals = {}
+    for out in outs:
+        line = [l for l in out.splitlines()
+                if l.startswith("MULTIHOST_EVAL_OK")][0]
+        pid, payload = line.split(" ", 2)[1:]
+        evals[int(pid)] = json.loads(payload)
+    assert set(evals) == {0, 1}
+    assert evals[0]["num_examples"] == 16
+    for k in ("loss", "perplexity", "acc"):
+        np.testing.assert_allclose(evals[0][k], evals[1][k], rtol=1e-6,
+                                   err_msg=k)
+
     # primary-only logging; cooperative Orbax checkpoint
     out_dir = root / "out"
     lines = [json.loads(l) for l in open(out_dir / "metrics.jsonl")]
