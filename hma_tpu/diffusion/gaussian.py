@@ -15,7 +15,7 @@ diffusion = 1000-step cosine, gen diffusion = respaced "100"
 from __future__ import annotations
 
 import math
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -185,11 +185,17 @@ def _discretized_gaussian_log_likelihood(x, means, log_scales):
 
 
 def training_losses(net_apply: Callable, sched: DiffusionSchedule,
-                    x0: jax.Array, t: jax.Array, cond, key: jax.Array):
+                    x0: jax.Array, t: jax.Array, cond, key: jax.Array,
+                    channel_mask: Optional[jax.Array] = None):
     """Per-example loss: eps-MSE + VB term for the learned variance
     (reference: gaussian_diffusion.py:675-745, LossType.MSE + LEARNED_RANGE).
 
     net_apply(x_t, t, cond) -> (..., 2*C): [eps_pred, v].
+    channel_mask: optional (C,) validity weights for padded channels —
+    masked channels carry unpredictable noise targets (the net never sees
+    them), so averaging over them would add a constant loss floor and
+    dilute the real channels' gradient; the reference sidesteps this with
+    exact-width per-domain heads (hma/model/st_mar.py:89-100).
     Returns dict with 'loss' shaped like t (mean over non-batch dims).
     """
     noise = jax.random.normal(key, x0.shape, x0.dtype)
@@ -198,8 +204,15 @@ def training_losses(net_apply: Callable, sched: DiffusionSchedule,
     C = x0.shape[-1]
     eps_pred, v = out[..., :C], out[..., C:]
 
-    mse = jnp.mean((noise.astype(jnp.float32) - eps_pred.astype(jnp.float32)) ** 2,
-                   axis=tuple(range(1, x0.ndim)))
+    nb = tuple(range(1, x0.ndim))
+
+    def cmean(x):
+        if channel_mask is None:
+            return jnp.mean(x, axis=nb)
+        w = jnp.broadcast_to(channel_mask, x.shape).astype(jnp.float32)
+        return jnp.sum(x * w, axis=nb) / jnp.maximum(jnp.sum(w, axis=nb), 1e-8)
+
+    mse = cmean((noise.astype(jnp.float32) - eps_pred.astype(jnp.float32)) ** 2)
 
     # VB term with frozen mean (stop-gradient on eps)
     x0_pred = predict_x0_from_eps(sched, xt, t, jax.lax.stop_gradient(eps_pred))
@@ -209,10 +222,10 @@ def training_losses(net_apply: Callable, sched: DiffusionSchedule,
     true_mean = q_posterior_mean(sched, x0, xt, t)
     true_logvar = _extract(sched.posterior_log_variance_clipped, t, x0.ndim)
     kl = _normal_kl(true_mean, true_logvar, model_mean, model_logvar)
-    kl = jnp.mean(kl, axis=tuple(range(1, x0.ndim))) / math.log(2.0)
+    kl = cmean(kl) / math.log(2.0)
 
     nll = -_discretized_gaussian_log_likelihood(x0, model_mean, 0.5 * model_logvar)
-    nll = jnp.mean(nll, axis=tuple(range(1, x0.ndim))) / math.log(2.0)
+    nll = cmean(nll) / math.log(2.0)
     vb = jnp.where(t == 0, nll, kl)
 
     return {"loss": mse + vb, "mse": mse, "vb": vb}

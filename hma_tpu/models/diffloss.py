@@ -212,7 +212,13 @@ class DiffLoss(nn.Module):
             base = net
             net = lambda x, tt, c: base(x * dim_mask, tt, c)
             target = target * dim_mask
-        out = training_losses(net, self.train_sched, target, t, z, kn)
+        # channel_mask keeps padded action dims out of the loss mean: their
+        # noise targets are hidden from the net by the input mask, so they
+        # would otherwise add an irreducible E[eps^2]=1 floor per padded
+        # dim and dilute the real channels' gradient (the reference's
+        # exact-width per-domain heads have no padding to mask).
+        out = training_losses(net, self.train_sched, target, t, z, kn,
+                              channel_mask=dim_mask)
         loss = out["loss"]
         if mask is not None:
             loss = jnp.sum(loss * mask) / (jnp.sum(mask) + 1e-8)

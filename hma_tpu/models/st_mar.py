@@ -277,6 +277,14 @@ class STMAR(nn.Module):
                     cond_t[:, :, None, :],
                     (B, 1, cfg.action_token_size, cfg.d_model))[:, 0]
                 x_SC = jnp.concatenate([x_SC, cond.astype(self.dtype)], axis=1)
+        elif cfg.jointly_predict_actions:
+            # mirror compute_latents' no-actions branch: frame t's learned
+            # action mask tokens (init_cache sizes S_tot for this case)
+            mask_t = jax.lax.dynamic_slice_in_dim(
+                self.action_mask_tokens, t, 1, axis=1)[:, 0]
+            cond = jnp.broadcast_to(mask_t.astype(self.dtype),
+                                    (B, cfg.action_token_size, cfg.d_model))
+            x_SC = jnp.concatenate([x_SC, cond], axis=1)
 
         S_tot = x_SC.shape[1]
         pos_t = jax.lax.dynamic_slice_in_dim(

@@ -313,6 +313,16 @@ class STMaskGIT(nn.Module):
                     cond_t[:, :, None, :],
                     (B, 1, cfg.action_token_size, cfg.d_model))[:, 0]
                 x_SC = jnp.concatenate([x_SC, cond.astype(self.dtype)], axis=1)
+        elif cfg.jointly_predict_actions:
+            # no actions supplied: append frame t's learned action mask
+            # tokens, mirroring compute_logits' elif branch — init_cache
+            # sizes S_tot for this case, so omitting it would break the
+            # cached==full exactness contract (and the cache concat).
+            mask_t = jax.lax.dynamic_slice_in_dim(
+                self.action_mask_tokens, t, 1, axis=1)[:, 0]
+            cond = jnp.broadcast_to(mask_t.astype(self.dtype),
+                                    (B, cfg.action_token_size, cfg.d_model))
+            x_SC = jnp.concatenate([x_SC, cond], axis=1)
 
         S_tot = x_SC.shape[1]
         pos_t = jax.lax.dynamic_slice_in_dim(
@@ -357,6 +367,14 @@ class STMaskGIT(nn.Module):
                     cond[:, :, None, :],
                     (B, F, cfg.action_token_size, cfg.d_model))
                 x_FSC = jnp.concatenate([x_FSC, cond.astype(self.dtype)], axis=2)
+        elif cfg.jointly_predict_actions:
+            # mirror compute_logits' no-actions branch (see frame_logits)
+            mask_w = jax.lax.dynamic_slice_in_dim(
+                self.action_mask_tokens, t0, F, axis=1)
+            cond = jnp.broadcast_to(
+                mask_w.astype(self.dtype),
+                (B, F, cfg.action_token_size, cfg.d_model))
+            x_FSC = jnp.concatenate([x_FSC, cond], axis=2)
 
         S_tot = x_FSC.shape[2]
         pos = jax.lax.dynamic_slice_in_dim(

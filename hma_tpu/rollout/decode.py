@@ -60,6 +60,8 @@ def make_feature_decoder(vae_decode_fn: Callable, batch_size: int = 16,
             shard = np.clip(shard, -clamp, clamp)
             img = vae_decode_fn(shard / SVD_SCALE)
             out.append(np.asarray(img))
+        if not out:  # np.concatenate([]) raises on an empty batch
+            return np.zeros((0, 0, 0, 3), np.uint8)
         return np.concatenate(out)
 
     return decode

@@ -68,6 +68,16 @@ def generate_frame_mar(model: STMAR, params, t, k_cache, v_cache,
     patch_dim = cfg_model.vae_embed_dim * cfg_model.patch_size**2
     B = batch_size
 
+    # The reference's cfg != 1 branch is unreachable/broken: it chunks the
+    # batch in half assuming a caller-doubled [cond | uncond] batch that no
+    # caller ever constructs (st_mar.py:417-418,437-439 slice mask[:bs] of
+    # a bs-sized tensor; generate() never passes cfg), and the model has no
+    # unconditional embedding to build one from. Guard rather than
+    # silently guide half the batch against unrelated patches.
+    assert cfg == 1.0, (
+        "classifier-free guidance is not supported: the reference STMAR "
+        "has no unconditional branch (its cfg path is dead code, "
+        "st_mar.py:417-439)")
     starts, counts = mar_subset_schedule(S, steps)
     maxc = max(counts)
     # cfg_iter is constant under the reference's (never-updated) unmasked
@@ -92,9 +102,19 @@ def generate_frame_mar(model: STMAR, params, t, k_cache, v_cache,
         z, action_latent, _, _ = model.apply(
             params, frame, t, k_cache, v_cache, action_ids, domain_id,
             update_cache=False, method=STMAR.frame_latents)
-        idx = jnp.clip(start + jnp.arange(maxc), 0, S - 1)
+        # Padding entries (arange >= count) must scatter OUTSIDE this
+        # step's reveal range [start, start+count): modulo wraps them onto
+        # already-revealed (write-back of the current sample, a no-op) or
+        # not-yet-revealed (write-back of the mask row, a no-op)
+        # positions, and keeps all maxc indices distinct. Clipping to S-1
+        # instead collided a padding row with the step's last reveal and
+        # could overwrite the fresh sample with the stale mask row.
+        idx = (start + jnp.arange(maxc)) % S
         pos = jnp.take_along_axis(order, idx[None, :].repeat(B, 0), axis=1)  # (B, maxc)
         z_rows = jnp.take_along_axis(z, pos[..., None], axis=1).reshape(B * maxc, -1)
+        # clip_denoised=True matches the reference's rollout call site
+        # (st_mar.py:433-435); SVD_SCALE-normalized latents mostly live in
+        # [-1, 1], so the x0 clamp is the reference's intended behavior.
         sampled = model.apply(params, z_rows, k_s, temperature, cfg_iter, True,
                               method=STMAR.sample_tokens)
         sampled = sampled.reshape(B, maxc, patch_dim).astype(frame.dtype)
@@ -161,8 +181,7 @@ def generate_latents(model: STMAR, params, prompt: jax.Array,
     keys = jax.random.split(key, T - num_prompt_frames)
     (out, _, _), _ = jax.lax.scan(frame_body, (patches, k_cache, v_cache), (ts, keys))
 
-    h_ = H // p
-    out = out.reshape(B, T, h_, h_, pd)
+    out = out.reshape(B, T, H // p, W // p, pd)
     return unpatchify(out, p, C)
 
 

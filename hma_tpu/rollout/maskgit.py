@@ -330,8 +330,10 @@ def generate_horizon(model: STMaskGIT, params, prompt_TS, out_t_min: int,
         samples, confidence = _sample_factored(lt, k_samp, temperature, fv)
         if unmask_mode == "greedy":
             conf = confidence
-        else:
+        elif unmask_mode == "random":
             conf = jax.random.uniform(k_conf, confidence.shape)
+        else:  # match _maskgit_refine: fail loudly on unknown modes
+            raise NotImplementedError(unmask_mode)
         conf = jnp.where(unmasked, jnp.inf, conf)
         lowest = _mask_lowest(conf, n)
         prev_unmasked = unmasked

@@ -127,3 +127,21 @@ def test_teacher_forced_latents(setup):
                                    jax.random.PRNGKey(1), maskgit_steps=2)
     assert pred2.shape == (2, cfg2.T - 1, cfg2.h, cfg2.h, cfg2.vae_embed_dim)
     assert np.isfinite(np.asarray(pred2)).all()
+
+
+def test_mar_generation_no_mask_leakage(setup):
+    """Regression: padding rows of the static-size scatter must not
+    overwrite freshly-sampled patches with the mask row (the old
+    clip-to-S-1 indices collided with the step's last reveal). With the
+    mask token set to a sentinel, no generated position may keep it."""
+    cfg, model, params, lat, mask, actions, dom = setup
+    sentinel = 7.77
+    p2 = jax.tree.map(lambda x: x, params)
+    p2 = {"params": dict(p2["params"])}
+    p2["params"]["mask_token"] = jnp.full_like(
+        params["params"]["mask_token"], sentinel)
+    out = generate_latents(model, p2, lat, 2, actions, dom,
+                           jax.random.PRNGKey(5), maskgit_steps=4)
+    gen = np.asarray(out[:, 2:])  # (B, T-2, h, w, C)
+    leaked = np.all(np.isclose(gen, sentinel, atol=1e-6), axis=-1)
+    assert not leaked.any(), f"{leaked.sum()} mask-row positions leaked"

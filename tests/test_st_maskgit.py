@@ -159,3 +159,31 @@ def test_window_logits_matches_full_forward(model_and_params):
         got.append(np.asarray(l))
     np.testing.assert_allclose(np.concatenate(got, axis=1), full,
                                atol=3e-4, rtol=3e-4)
+
+
+def test_frame_logits_no_actions_with_joint_prediction(model_and_params):
+    """Cached path with jointly_predict_actions=True but action_ids=None
+    must append the action mask tokens exactly like compute_logits'
+    elif branch (regression: it used to crash on the cache concat)."""
+    cfg, model, params, tokens, actions, domain_id = model_and_params
+    B, T, S = tokens.shape
+    mask_id = cfg.image_vocab_size
+    inp = tokens.at[:, T - 1].set(mask_id)
+
+    full_logits, _ = model.apply(params, inp, None, domain_id,
+                                 method=STMaskGIT.compute_logits)
+    h = int(np.sqrt(S))
+    full = full_logits.reshape(B, cfg.num_factored_vocabs,
+                               cfg.factored_vocab_size, T, h, h)
+    k_cache, v_cache = model.apply(params, B, method=STMaskGIT.init_cache)
+    for t in range(T - 1):
+        _, k_cache, v_cache = model.apply(
+            params, inp[:, t], jnp.asarray(t, jnp.int32), k_cache, v_cache,
+            None, domain_id, method=STMaskGIT.frame_logits)
+    logits_t, _, _ = model.apply(
+        params, inp[:, T - 1], jnp.asarray(T - 1, jnp.int32), k_cache,
+        v_cache, None, domain_id, method=STMaskGIT.frame_logits)
+    want = np.asarray(full[:, :, :, T - 1].transpose(0, 3, 4, 1, 2)).reshape(
+        B, S, cfg.num_factored_vocabs, cfg.factored_vocab_size)
+    np.testing.assert_allclose(np.asarray(logits_t), want, atol=2e-4,
+                               rtol=2e-4)
