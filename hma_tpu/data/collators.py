@@ -80,7 +80,12 @@ def maskgit_collate(batch: list[dict], config: GenieConfig,
         "h": [h] * B,
         "w": [w] * B,
     }
-    if "action_ids" in batch[0]:
+    # all-or-nothing: drop_action_ratio drops actions per ITEM, so a mixed
+    # batch is possible; the reference checks only features[0] and its
+    # torch.stack crashes on such batches (hma/data.py:90-91 — a latent
+    # reference defect we do not replicate). Batched jit needs a
+    # batch-level decision anyway: any dropped item drops the batch.
+    if all("action_ids" in ex for ex in batch):
         out["action_ids"] = np.stack([ex["action_ids"] for ex in batch]).astype(np.float32)
     return out
 
@@ -123,6 +128,11 @@ def maskgit_collate_feature(batch: list[dict], config: GenieConfig,
         "h": [h] * B,
         "w": [w] * B,
     }
-    if "action_ids" in batch[0]:
+    # all-or-nothing: drop_action_ratio drops actions per ITEM, so a mixed
+    # batch is possible; the reference checks only features[0] and its
+    # torch.stack crashes on such batches (hma/data.py:90-91 — a latent
+    # reference defect we do not replicate). Batched jit needs a
+    # batch-level decision anyway: any dropped item drops the batch.
+    if all("action_ids" in ex for ex in batch):
         out["action_ids"] = np.stack([ex["action_ids"] for ex in batch]).astype(np.float32)
     return out

@@ -86,7 +86,12 @@ def load_detections(path: str) -> list:
 
 
 def read_frame(frames_dir: str, frame_idx: int) -> Optional[np.ndarray]:
-    """frame_%010d.jpg -> RGB (reference: epic_kitchen.py:93-99)."""
+    """frame_%010d.jpg -> RGB (reference: epic_kitchen.py:93-99).
+
+    Note the reference indexes filenames from 0 while EPIC's released rgb
+    frames start at frame_0000000001.jpg — kept byte-for-byte (frame 0 is
+    simply skipped as missing, and images lag detections by one frame the
+    same way they do in the reference pipeline)."""
     import cv2
 
     path = os.path.join(frames_dir, f"frame_{frame_idx:010d}.jpg")

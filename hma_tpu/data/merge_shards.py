@@ -28,9 +28,14 @@ def merge_shards(shard_dirs: list[str], out_dir: str) -> dict:
             continue
         meta = json.loads(meta_path.read_text())
         dtype = np.dtype(meta.get("token_dtype", "uint32"))
-        shape = ((meta["num_images"], meta["h"], meta["w"], 3)
-                 if dtype == np.uint8 and meta.get("vocab_size") is None
-                 else (meta["num_images"], meta["h"], meta["w"]))
+        if meta.get("latent_channels"):
+            # continuous VAE latents: float16 (N, C, h, w)
+            shape = (meta["num_images"], meta["latent_channels"],
+                     meta["h"], meta["w"])
+        elif dtype == np.uint8 and meta.get("vocab_size") is None:
+            shape = (meta["num_images"], meta["h"], meta["w"], 3)
+        else:
+            shape = (meta["num_images"], meta["h"], meta["w"])
         video = np.memmap(d / "video.bin", dtype=dtype, mode="r", shape=shape)
         seg = np.memmap(d / "segment_ids.bin", dtype=np.int32, mode="r",
                         shape=(meta["num_images"],))

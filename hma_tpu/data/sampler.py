@@ -52,23 +52,31 @@ class MultiTaskBatchSampler:
     def __len__(self) -> int:
         return self._num_batches
 
+    def _rank_shard(self, task: int, seed: int) -> np.ndarray:
+        """This rank's shuffled index pool, tiled up to >= batch_size so a
+        tiny domain (or a tiny rank shard) can never emit a short batch —
+        batches must stay static-shaped under jit (CLAUDE.md invariant)."""
+        perm = np.random.default_rng(seed).permutation(self.dataset_sizes[task])
+        shard = perm[self.rank::self.world_size]
+        if len(shard) == 0:  # fewer samples than ranks: fall back to all
+            shard = perm
+        while len(shard) < self.batch_size:
+            shard = np.concatenate([shard, shard])
+        return shard
+
     def __iter__(self) -> Iterator[np.ndarray]:
         rng = np.random.default_rng(self.seed + self.epoch * 1000 + self.rank)
         dist = self.generate_tasks_distribution()
         # per-epoch, per-rank shuffled index pools
-        pools, cursors = [], []
-        for i, size in enumerate(self.dataset_sizes):
-            perm = np.random.default_rng(self.seed + self.epoch).permutation(size)
-            shard = perm[self.rank::self.world_size]
-            pools.append(shard)
-            cursors.append(0)
+        pools = [self._rank_shard(i, self.seed + self.epoch)
+                 for i in range(len(self.dataset_sizes))]
+        cursors = [0] * len(pools)
 
         for _ in range(self._num_batches):
             task = int(rng.choice(len(self.dataset_sizes), p=dist))
             pool, cur = pools[task], cursors[task]
             if cur + self.batch_size > len(pool):
-                pools[task] = np.random.default_rng(
-                    rng.integers(2**31)).permutation(self.dataset_sizes[task])[self.rank::self.world_size]
+                pools[task] = self._rank_shard(task, int(rng.integers(2**31)))
                 pool, cur = pools[task], 0
             batch = pool[cur:cur + self.batch_size]
             cursors[task] = cur + self.batch_size

@@ -71,10 +71,6 @@ class BasicConv(nn.Module):
         return nn.relu(x)
 
 
-def _pad1(k):
-    return tuple(((s - 1) // 2, s // 2) if False else ((s // 2, s // 2)) for s in k)
-
-
 class InceptionA(nn.Module):
     pool_features: int
 

@@ -189,15 +189,16 @@ def calculate_fvd(pred_videos: np.ndarray, gt_videos: np.ndarray,
                   embed_fn: Optional[Callable] = None,
                   backend: str = "videogpt",
                   i3d_params: Optional[dict] = None) -> float:
-    """uint8 (N, T, H, W, 3) batches -> FVD. Sweeps clip lengths >= 10 and
-    returns the final (full-length) value (reference: calculate_fvd.py:16-58).
-    `backend` selects the I3D variant when no embed_fn is given; the
-    reference default (and the paper's numbers) is "styleganv"."""
+    """uint8 (N, T, H, W, 3) batches -> FVD at the full clip length.
+
+    The reference sweeps every clip length >= 10 but only its final
+    (full-length) value is ever consumed (calculate_fvd.py:16-58 builds a
+    dict; evaluate_diffusion.py:368-375 reads just the last) — computing
+    only the full-length embedding returns the identical number at 1/(T-9)
+    the cost. `backend` selects the I3D variant when no embed_fn is given;
+    the reference default (and the paper's numbers) is "styleganv"."""
     assert pred_videos.shape[1] >= 10, "FVD requires clips of >= 10 frames"
     embed_fn = embed_fn or make_i3d_embed_fn(params=i3d_params, backend=backend)
-    result = None
-    for clip_len in range(10, pred_videos.shape[1] + 1):
-        pf = embed_fn(pred_videos[:, :clip_len])
-        gf = embed_fn(gt_videos[:, :clip_len])
-        result = fid_from_features(pf, gf)
-    return float(result)
+    pf = embed_fn(pred_videos)
+    gf = embed_fn(gt_videos)
+    return float(fid_from_features(pf, gf))

@@ -38,10 +38,11 @@ def init_distributed(coordinator_address: Optional[str] = None,
     Arguments fall back to the HMA_TPU_COORDINATOR / HMA_TPU_NUM_PROCESSES /
     HMA_TPU_PROCESS_ID / HMA_TPU_LOCAL_DEVICE_IDS environment variables, so
     launchers only need to export env (the torchrun-style contract of the
-    reference's scripts). On Cloud TPU pods, calling with no arguments and
-    no env set still works: `jax.distributed.initialize()` auto-discovers
-    the coordinator from the TPU metadata server — we only skip the call
-    entirely when nothing indicates a multi-process launch.
+    reference's scripts). With no coordinator configured this is a no-op
+    and the run stays single-process — on Cloud TPU pods where
+    `jax.distributed.initialize()` could auto-discover the coordinator,
+    set HMA_TPU_COORDINATOR=auto to opt in (calling initialize
+    unconditionally would break every single-host run).
     """
     env = os.environ
     coordinator_address = coordinator_address or env.get("HMA_TPU_COORDINATOR")
@@ -51,7 +52,9 @@ def init_distributed(coordinator_address: Optional[str] = None,
         process_id = int(env["HMA_TPU_PROCESS_ID"])
     if local_device_ids is None:
         local_device_ids = env.get("HMA_TPU_LOCAL_DEVICE_IDS")
-    if coordinator_address is None or not num_processes or num_processes <= 1:
+    if coordinator_address is None or (
+            coordinator_address != "auto"
+            and (not num_processes or num_processes <= 1)):
         return False
     # already initialized (e.g. an eval entry point after training in the
     # same process)? jax.process_count() would itself initialize the XLA
@@ -60,6 +63,11 @@ def init_distributed(coordinator_address: Optional[str] = None,
     from jax._src import distributed as _jax_distributed
 
     if getattr(_jax_distributed.global_state, "client", None) is not None:
+        return True
+    if coordinator_address == "auto":
+        # Cloud TPU pod: let jax auto-discover the coordinator from the
+        # TPU metadata server (explicit opt-in; see docstring).
+        jax.distributed.initialize()
         return True
     kwargs = {}
     if local_device_ids:

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -107,8 +108,16 @@ def make_param_shardings(params, mesh: Mesh):
 
 
 def batch_sharding(mesh: Mesh):
-    """Shard the leading (batch) axis over the data axes and — when it
-    divides evenly — the trailing token axis over 'sp'."""
+    """Shard the leading (batch) axis over the data axes and — for the
+    discrete (B, T, S) integer token layout — the trailing spatial token
+    axis over 'sp'.
+
+    Only integer 3-D arrays qualify: sharding every trailing dim over sp
+    would split the continuous batch's 4-channel latent dim and the
+    float action-width dim, which are not sequence axes, forcing XLA to
+    insert reshards at the model boundary. Float leaves (latents,
+    actions) and masks stay batch-sharded only; the model's internal
+    sequence sharding constraints handle the rest."""
     sp = mesh.shape.get("sp", 1)
 
     def per_leaf(x):
@@ -116,7 +125,9 @@ def batch_sharding(mesh: Mesh):
             return NamedSharding(mesh, P())
         spec = [None] * x.ndim
         spec[0] = DATA_AXES
-        if x.ndim >= 2 and sp > 1 and x.shape[-1] % sp == 0 and x.shape[-1] >= 2 * sp:
+        if (x.ndim == 3 and sp > 1
+                and jnp.issubdtype(x.dtype, jnp.integer)
+                and x.shape[-1] % sp == 0 and x.shape[-1] >= 2 * sp):
             spec[-1] = "sp"
         return NamedSharding(mesh, P(*spec))
     return per_leaf

@@ -57,13 +57,14 @@ def _make_latent_decoder(vae_checkpoint: str):
     vae = SVDTemporalVAE()
     decode = jax.jit(lambda z: vae.apply(params, z, method=SVDTemporalVAE.decode))
 
-    def decode_latents(lat_hwc: np.ndarray) -> np.ndarray:
-        # clamp the RAW (unscaled) latents to +/-25, like the reference
-        # (hma/visualize.py:157); clamping before unscaling would admit
-        # raw values up to ~137 on a diverging rollout
-        z = jnp.asarray(np.clip(lat_hwc / SVD_SCALE, -25.0, 25.0),
-                        jnp.float32)[None, None]
-        img = np.asarray(decode(z))[0, 0]
+    def decode_latents(lat_nhwc: np.ndarray) -> np.ndarray:
+        # GenieSimulator contract: (N, h, w, C) x SVD_SCALE -> (N, H, W, 3)
+        # uint8. Clamp the RAW (unscaled) latents to +/-25, like the
+        # reference (hma/visualize.py:157); clamping before unscaling
+        # would admit raw values up to ~137 on a diverging rollout.
+        z = jnp.asarray(np.clip(np.asarray(lat_nhwc) / SVD_SCALE,
+                                -25.0, 25.0), jnp.float32)[None]
+        img = np.asarray(decode(z))[0]  # (N, H, W, 3) in [-1, 1]
         return np.clip((img + 1) * 127.5, 0, 255).astype(np.uint8)
 
     return decode_latents

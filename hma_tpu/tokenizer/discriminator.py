@@ -29,7 +29,7 @@ class NLayerDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         """x: (B, H, W, C) in [-1, 1] -> (B, H', W', 1) patch logits."""
-        kw, pad = 4, ((1, 2), (1, 2))  # torch pad=1 on 4x4 stride2: asymmetric in NHWC SAME terms
+        kw = 4
         # torch Conv2d(k=4, s=2, p=1): out = H/2; jax needs explicit ((1,1),(1,1))
         # which gives floor((H+2-4)/2)+1 = H/2 as well.
         pad2 = ((1, 1), (1, 1))

@@ -54,7 +54,11 @@ def save_checkpoint(output_dir: str, tag: str, state: Any, config=None,
     return str(out)
 
 
-def _step_dirs(output_dir: str) -> list[tuple[int, Path]]:
+def _step_dirs(output_dir: str) -> list[tuple[float, Path]]:
+    """Checkpoint dirs, oldest first. step_N and epoch_N counters are not
+    comparable (epoch_2 vs step_1000), so ordering uses creation mtime —
+    pruning and resume-latest then always act on true recency, even when
+    a run mixes checkpointing_steps modes."""
     out = Path(output_dir)
     dirs = []
     if not out.is_dir():
@@ -62,7 +66,7 @@ def _step_dirs(output_dir: str) -> list[tuple[int, Path]]:
     for d in out.iterdir():
         m = re.fullmatch(r"(?:step|epoch)_(\d+)", d.name)
         if m and d.is_dir():
-            dirs.append((int(m.group(1)), d))
+            dirs.append((d.stat().st_mtime, d))
     return sorted(dirs)
 
 

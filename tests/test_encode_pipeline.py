@@ -111,3 +111,39 @@ def test_encode_with_real_vq_encoder(tmp_path):
     assert meta["num_images"] == 8
     video = np.fromfile(tmp_path / "vq" / "video.bin", np.uint32).reshape(8, 16, 16)
     assert video.max() < 2**18
+
+
+def test_merge_shards_continuous_latents(tmp_path):
+    """Merging float16 (N, C, h, w) VAE-latent shards must preserve the
+    channel layout exactly (regression: the shape pick treated latent
+    shards as (N, h, w) and silently merged a channel-interleaved prefix)."""
+    import json
+
+    rng = np.random.default_rng(2)
+    C, h = 4, 8
+    shard_dirs, parts = [], []
+    for i in range(2):
+        d = tmp_path / f"lshard{i}"
+        d.mkdir()
+        n = 12
+        lat = rng.normal(size=(n, C, h, h)).astype(np.float16)
+        lat.tofile(d / "video.bin")
+        np.repeat(np.arange(n // 4), 4).astype(np.int32).tofile(
+            d / "segment_ids.bin")
+        (d / "actions").mkdir()
+        rng.normal(size=(n, 2)).astype(np.float32).tofile(
+            d / "actions" / "actions.bin")
+        (d / "metadata.json").write_text(json.dumps({
+            "name": "language_table", "num_images": n, "h": h, "w": h,
+            "latent_channels": C, "token_dtype": "float16",
+            "num_episodes": 3}))
+        shard_dirs.append(str(d))
+        parts.append(lat)
+
+    merged = tmp_path / "lmerged"
+    meta = merge_shards(shard_dirs, str(merged))
+    assert meta["num_images"] == 24 and meta["latent_channels"] == C
+    got = np.fromfile(merged / "video.bin", np.float16).reshape(24, C, h, h)
+    np.testing.assert_array_equal(got, np.concatenate(parts))
+    seg = np.fromfile(merged / "segment_ids.bin", np.int32)
+    assert len(np.unique(seg)) == 6

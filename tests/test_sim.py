@@ -145,3 +145,33 @@ def test_replay_simulator():
     np.testing.assert_array_equal(sim.reset(), frames[0])
     np.testing.assert_array_equal(sim.step(), frames[0])
     np.testing.assert_array_equal(sim.step(), frames[1])
+
+
+def test_app_latent_decoder_contract(monkeypatch, tmp_path):
+    """sim/app._make_latent_decoder must honor the GenieSimulator decoder
+    contract: (N, h, w, C) x SVD_SCALE -> (N, H, W, 3) uint8 (regression:
+    it used to add two batch dims and return a single unbatched image,
+    crashing the STMAR demo's first frame)."""
+    import numpy as np
+
+    import hma_tpu.sim.app as app_mod
+    import hma_tpu.tokenizer.svd_vae as svd_mod
+
+    class StubVAE:
+        def decode(self):  # placeholder so `method=StubVAE.decode` resolves
+            pass
+
+        def apply(self, params, z, method=None):
+            B, N, h, w, C = z.shape  # the real decoder unpacks 5-D
+            import jax.numpy as jnp
+
+            return jnp.zeros((B, N, h * 8, w * 8, 3), jnp.float32)
+
+    monkeypatch.setattr(svd_mod, "SVDTemporalVAE", StubVAE)
+    monkeypatch.setattr(svd_mod, "load_svd_vae_torch_weights", lambda sd: {})
+    import torch
+
+    monkeypatch.setattr(torch, "load", lambda *a, **k: {})
+    dec = app_mod._make_latent_decoder(str(tmp_path / "fake.pt"))
+    out = dec(np.random.default_rng(0).normal(size=(3, 4, 4, 4)).astype(np.float32))
+    assert out.shape == (3, 32, 32, 3) and out.dtype == np.uint8
