@@ -132,6 +132,10 @@ def build_domain_datasets(args: TrainArgs, config):
     kwargs = dict(window_size=args.window_size, stride=args.stride,
                   max_traj_num=args.num_episodes_per_dataset,
                   use_actions=config.use_actions)
+    if discrete and getattr(config, "drop_action_ratio", 0.0):
+        # dropping actions is only supported with the CE loss
+        # (reference: train_multi.py:838-839)
+        kwargs["drop_action_ratio"] = config.drop_action_ratio
 
     train_sets, val_sets, action_dims, action_stats = [], [], [], []
     for domain in domains:
@@ -277,7 +281,10 @@ def run_training(args: TrainArgs) -> dict:
     rng_np = np.random.default_rng(args.seed)
     assembler = BatchAssembler(train_sets, domains, config, args, rng_np, discrete)
     native_loaders = None
-    if args.use_native_loader and not args.overfit_first_batch:
+    if (args.use_native_loader and not args.overfit_first_batch
+            and not getattr(config, "drop_action_ratio", 0.0)):
+        # the C++ loader does not implement per-item action dropping;
+        # fall back to the Python assembler when the knob is active
         if discrete:
             from hma_tpu.data.native_loader import NativeTokenLoader
 

@@ -120,3 +120,21 @@ def test_multitask_sampler():
         assert len(b) == 8
         # batch comes entirely from one dataset's index range
         assert (b < 100).all() or ((b >= 100) & (b < 500)).all()
+
+
+def test_collator_mixed_action_batch():
+    """drop_action_ratio drops actions per ITEM; a mixed batch must drop
+    actions batch-wide instead of crashing on a ragged stack (the
+    reference's features[0] check + torch.stack would raise,
+    hma/data.py:90-91)."""
+    cfg = make_config(use_actions=True)
+    rng = np.random.default_rng(3)
+    batch = make_batch(4, cfg.T, 4, 4, rng)
+    for ex in batch[:3]:  # item 3 dropped its actions
+        ex["action_ids"] = rng.normal(size=(cfg.T, 2)).astype(np.float32)
+    out = maskgit_collate(batch, cfg, rng)
+    assert "action_ids" not in out
+    for ex in batch:  # all items kept -> actions included
+        ex["action_ids"] = rng.normal(size=(cfg.T, 2)).astype(np.float32)
+    out = maskgit_collate(batch, cfg, rng)
+    assert out["action_ids"].shape == (4, cfg.T, 2)
