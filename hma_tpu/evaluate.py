@@ -89,11 +89,29 @@ def parse_args(argv=None):
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1)
     p.add_argument("--use_wandb", action="store_true")
-    return p.parse_args(argv)
+    p.add_argument("--use_feature", action="store_true",
+                   help="continuous family: delegate to evaluate_feature "
+                        "(the reference's evaluate.py exposes the same "
+                        "switch, evaluate.py:98-99)")
+    return p.parse_known_args(argv)
 
 
 def main(argv=None):
-    args = parse_args(argv)
+    args, rest = parse_args(argv)
+    if args.use_feature:
+        from hma_tpu.evaluate_feature import main as feature_main
+
+        return feature_main([
+            "--checkpoint_dir", args.checkpoint_dir,
+            "--val_data_dir", args.val_data_dir,
+            "--output_dir", args.output_dir,
+            "--batch_size", str(args.batch_size),
+            "--max_examples", str(args.max_examples),
+            *(["--domain", args.domain] if args.domain else []),
+            *(["--maskgit_steps", str(args.maskgit_steps)]
+              if args.maskgit_steps is not None else []),
+            *rest])
+    assert not rest, f"unknown arguments: {rest}"
     dist.init_distributed()
     mesh = setup_eval_mesh(fsdp=args.fsdp, tp=args.tp, sp=args.sp,
                            batch_hint=args.batch_size)
