@@ -105,3 +105,22 @@ def test_generate_cli(synth_env):
     video3 = np.fromfile(gen_out3 / "video.bin", dtype=np.uint32)
     # prompt(2) + pred(1) + gt(1) = 4 frames per example, 2 examples
     assert video3.size == 2 * 4 * meta3["h"] * meta3["w"]
+
+
+def test_checkpoint_ordering_mixed_modes(tmp_path):
+    """step_N and epoch_N counters are not comparable; ordering must use
+    recency (regression: epoch_2 sorted before step_1000, so pruning
+    deleted the newest checkpoint and resume picked the oldest)."""
+    import os
+    import time
+
+    from hma_tpu.utils.checkpoint import latest_checkpoint, prune_checkpoints
+
+    older = tmp_path / "step_1000"
+    newer = tmp_path / "epoch_2"
+    older.mkdir()
+    time.sleep(0.02)
+    newer.mkdir()
+    assert latest_checkpoint(str(tmp_path)).endswith("epoch_2")
+    prune_checkpoints(str(tmp_path), keep_last=1)
+    assert newer.is_dir() and not older.is_dir()
