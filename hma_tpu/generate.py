@@ -52,9 +52,12 @@ def parse_args(argv=None):
     p.add_argument("--use_feature", action="store_true",
                    help="continuous family: STMAR checkpoint over VAE latents")
     p.add_argument("--cfg", type=float, default=1.0,
-                   help="--use_feature guidance scale; must stay 1.0 — the "
-                        "reference STMAR's cfg path is dead code with no "
-                        "unconditional branch (st_mar.py:417-439)")
+                   help="--use_feature classifier-free guidance scale. "
+                        "Works here (doubled [cond|uncond] batch; uncond = "
+                        "the trained action-dropout branch) unlike the "
+                        "reference, whose cfg path is dead code "
+                        "(st_mar.py:417-439); meaningful when the model "
+                        "trained with drop_action_ratio > 0")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 

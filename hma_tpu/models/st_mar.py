@@ -256,12 +256,15 @@ class STMAR(nn.Module):
                       action_ids: Optional[jax.Array] = None,
                       domain_id: Optional[jax.Array] = None,
                       skip_normalization: bool = False,
-                      update_cache: bool = True):
+                      update_cache: bool = True,
+                      action_live: Optional[jax.Array] = None):
         """Single-frame conditioning latents against the temporal KV cache.
 
         patches_S: (B, S_p, patch_dim) patchified latents of frame t.
         Returns (z (B, S_p, d_model) fp32, action_latent (B, d_model) or
-        None, k_cache, v_cache).
+        None, k_cache, v_cache). action_live: optional (B,) float — rows
+        with 0 run the trained no-actions branch (action mask tokens, no
+        per-layer injection); used for classifier-free guidance.
         """
         cfg = self.config
         B, S, _ = patches_S.shape
@@ -276,7 +279,16 @@ class STMAR(nn.Module):
                 cond = jnp.broadcast_to(
                     cond_t[:, :, None, :],
                     (B, 1, cfg.action_token_size, cfg.d_model))[:, 0]
-                x_SC = jnp.concatenate([x_SC, cond.astype(self.dtype)], axis=1)
+                cond = cond.astype(self.dtype)
+                if action_live is not None:
+                    # rows with live=0 take the learned action mask tokens
+                    # — the trained no-actions branch — so a doubled
+                    # [cond | uncond] CFG batch runs in one program
+                    mask_t = jax.lax.dynamic_slice_in_dim(
+                        self.action_mask_tokens, t, 1, axis=1)[:, 0]
+                    live = action_live[:, None, None].astype(self.dtype)
+                    cond = live * cond + (1 - live) * mask_t.astype(self.dtype)
+                x_SC = jnp.concatenate([x_SC, cond], axis=1)
         elif cfg.jointly_predict_actions:
             # mirror compute_latents' no-actions branch: frame t's learned
             # action mask tokens (init_cache sizes S_tot for this case)
@@ -293,7 +305,8 @@ class STMAR(nn.Module):
             (x_SC + pos_t.astype(self.dtype)).astype(jnp.float32)).astype(self.dtype)
 
         x_SC, k_cache, v_cache = self.decoder.frame_step(
-            x_SC, t, k_cache, v_cache, action_emb, domain_id, update_cache)
+            x_SC, t, k_cache, v_cache, action_emb, domain_id, update_cache,
+            action_live)
 
         action_latent = None
         if cfg.jointly_predict_actions:

@@ -139,27 +139,38 @@ class STBlock(nn.Module):
     def frame_step(self, x_SC: jax.Array, t: jax.Array,
                    k_cache: jax.Array, v_cache: jax.Array,
                    action_emb: Optional[jax.Array] = None,
-                   domain_id: Optional[jax.Array] = None):
+                   domain_id: Optional[jax.Array] = None,
+                   action_live: Optional[jax.Array] = None):
         """Single-frame decode. x_SC: (B, S, C) activations of frame t.
 
         k_cache/v_cache: (B*S, T_max, H, D) temporal KV for this block
         (read-only). Returns (x_SC_out, k_t, v_t) with this frame's
         (B*S, 1, H, D) KV slices for the caller to write (or discard).
+
+        action_live: optional (B,) float gate on the per-layer action
+        injection — rows with 0 get no action conditioning at all,
+        matching the trained action_ids=None branch (used by the MAR
+        rollout's classifier-free guidance to run [cond | uncond] halves
+        of one doubled batch through a single program).
         """
         B, S, C = x_SC.shape
         x_SC = x_SC + self.spatial_attn(self._pre1(x_SC))
 
         if action_emb is not None and self.num_domains > 0:
+            live = (1.0 if action_live is None
+                    else action_live[:, None, None].astype(x_SC.dtype))
             if "mlp" in self.action_processing:
                 cond_t = jnp.take_along_axis(
                     action_emb, t[None, None, None].astype(jnp.int32), axis=1)
-                x_SC = x_SC + cond_t
+                x_SC = x_SC + cond_t * live
             elif "cross_attention" in self.action_processing:
-                x_SC = x_SC + self.action_projector(x_SC, action_emb, domain_id)
+                x_SC = x_SC + self.action_projector(x_SC, action_emb,
+                                                    domain_id) * live
             elif "modulate" in self.action_processing:
                 cond_t = jnp.take_along_axis(
                     action_emb, t[None, None, None].astype(jnp.int32), axis=1)
-                x_SC = x_SC + self.action_projector(x_SC, cond_t, domain_id)
+                x_SC = x_SC + self.action_projector(x_SC, cond_t,
+                                                    domain_id) * live
 
         # No pre-norm on the temporal branch, matching the full path above
         # (reference applies norm only before spatial attn and the MLP).
@@ -269,19 +280,21 @@ class STTransformerDecoder(nn.Module):
                    k_cache: jax.Array, v_cache: jax.Array,
                    action_emb: Optional[jax.Array] = None,
                    domain_id: Optional[jax.Array] = None,
-                   update_cache: bool = True):
+                   update_cache: bool = True,
+                   action_live: Optional[jax.Array] = None):
         """x_SC: (B, S, C); k/v_cache: (L, B*S, T_max, H, D).
 
         With update_cache, each layer's frame-t KV slice is written with an
         in-place dynamic-update-slice on the big cache buffer (XLA aliases
         the chain — no full-cache stack/copy); otherwise the caches pass
-        through untouched.
+        through untouched. action_live: see STBlock.frame_step.
         """
         t = jnp.asarray(t, jnp.int32)
         zero = jnp.asarray(0, jnp.int32)
         for i, layer in enumerate(self.layers):
             x_SC, k_t, v_t = layer.frame_step(x_SC, t, k_cache[i], v_cache[i],
-                                              action_emb, domain_id)
+                                              action_emb, domain_id,
+                                              action_live)
             if update_cache:
                 idx = (jnp.asarray(i, jnp.int32), zero, t, zero, zero)
                 k_cache = jax.lax.dynamic_update_slice(k_cache, k_t[None], idx)

@@ -58,26 +58,29 @@ def generate_frame_mar(model: STMAR, params, t, k_cache, v_cache,
                        maskgit_steps: Optional[int] = None,
                        temperature: float = 1.0, cfg: float = 1.0,
                        batch_size: int,
-                       initial_patches: Optional[jax.Array] = None):
+                       initial_patches: Optional[jax.Array] = None,
+                       action_live: Optional[jax.Array] = None):
     """Decode one frame of patchified latents. Returns
     (patches (B, S_p, patch_dim), action_latent or None, k_cache, v_cache)
-    with caches filled from the final frame."""
+    with caches filled from the final frame.
+
+    Classifier-free guidance (cfg != 1): the caller supplies a DOUBLED
+    batch whose second half runs the trained no-actions branch
+    (`action_live` = [1]*n + [0]*n; see generate_latents), the per-row
+    generation orders pair across halves, and DiffLoss.sample guides
+    cond vs uncond eps — both halves receive the identical guided
+    samples, keeping both cache sets consistent. This is a working
+    redesign of the reference's cfg path, which is dead code (it chunks a
+    caller-doubled batch no caller constructs, st_mar.py:417-439); the
+    unconditional branch here is exactly the action-dropout branch the
+    model trains when drop_action_ratio > 0.
+    """
     cfg_model = model.config
     steps = maskgit_steps or cfg_model.maskgit_steps
     S = cfg_model.S // cfg_model.patch_size**2
     patch_dim = cfg_model.vae_embed_dim * cfg_model.patch_size**2
     B = batch_size
 
-    # The reference's cfg != 1 branch is unreachable/broken: it chunks the
-    # batch in half assuming a caller-doubled [cond | uncond] batch that no
-    # caller ever constructs (st_mar.py:417-418,437-439 slice mask[:bs] of
-    # a bs-sized tensor; generate() never passes cfg), and the model has no
-    # unconditional embedding to build one from. Guard rather than
-    # silently guide half the batch against unrelated patches.
-    assert cfg == 1.0, (
-        "classifier-free guidance is not supported: the reference STMAR "
-        "has no unconditional branch (its cfg path is dead code, "
-        "st_mar.py:417-439)")
     starts, counts = mar_subset_schedule(S, steps)
     maxc = max(counts)
     # cfg_iter is constant under the reference's (never-updated) unmasked
@@ -85,8 +88,18 @@ def generate_frame_mar(model: STMAR, params, t, k_cache, v_cache,
     cfg_iter = cfg
 
     key, k_order = jax.random.split(key)
-    order = jax.vmap(lambda k: jax.random.permutation(k, S))(
-        jax.random.split(k_order, B))  # (B, S)
+    if cfg != 1.0:
+        assert B % 2 == 0 and action_live is not None, (
+            "cfg != 1 requires a caller-doubled [cond | uncond] batch with "
+            "action_live set (use generate_latents/teacher_forced_latents)")
+        # identical per-row orders across the halves so cond/uncond rows
+        # stay position-paired through the flattened diffusion batch
+        half = jax.vmap(lambda k: jax.random.permutation(k, S))(
+            jax.random.split(k_order, B // 2))
+        order = jnp.concatenate([half, half], axis=0)  # (B, S)
+    else:
+        order = jax.vmap(lambda k: jax.random.permutation(k, S))(
+            jax.random.split(k_order, B))  # (B, S)
 
     # a fully-masked frame: every patch row is p*p copies of the mask token
     # (patchify flattens (p, p, C) with C fastest, so tiling matches)
@@ -101,7 +114,8 @@ def generate_frame_mar(model: STMAR, params, t, k_cache, v_cache,
         key, k_s = jax.random.split(key)
         z, action_latent, _, _ = model.apply(
             params, frame, t, k_cache, v_cache, action_ids, domain_id,
-            update_cache=False, method=STMAR.frame_latents)
+            update_cache=False, action_live=action_live,
+            method=STMAR.frame_latents)
         # Padding entries (arange >= count) must scatter OUTSIDE this
         # step's reveal range [start, start+count): modulo wraps them onto
         # already-revealed (write-back of the current sample, a no-op) or
@@ -131,7 +145,7 @@ def generate_frame_mar(model: STMAR, params, t, k_cache, v_cache,
 
     _, _, k_cache, v_cache = model.apply(
         params, frame, t, k_cache, v_cache, action_ids, domain_id,
-        method=STMAR.frame_latents)
+        action_live=action_live, method=STMAR.frame_latents)
     return frame, action_latent, k_cache, v_cache
 
 
@@ -145,12 +159,23 @@ def generate_latents(model: STMAR, params, prompt: jax.Array,
     (reference: STMAR.generate, st_mar.py:277-345).
     """
     cfg_model = model.config
-    B, T, H, W, C = prompt.shape
+    B0, T, H, W, C = prompt.shape
     p = cfg_model.patch_size
     patches = patchify(prompt, p)  # (B, T, h_, w_, pd)
     S = patches.shape[2] * patches.shape[3]
     pd = patches.shape[-1]
-    patches = patches.reshape(B, T, S, pd)
+    patches = patches.reshape(B0, T, S, pd)
+
+    # classifier-free guidance: run a doubled [cond | uncond] batch; the
+    # uncond half takes the trained no-actions branch via action_live=0
+    action_live = None
+    if cfg != 1.0:
+        assert action_ids is not None, "cfg != 1 needs action conditioning"
+        patches = jnp.concatenate([patches, patches], axis=0)
+        action_ids = jnp.concatenate([action_ids, action_ids], axis=0)
+        action_live = jnp.concatenate(
+            [jnp.ones((B0,), jnp.float32), jnp.zeros((B0,), jnp.float32)])
+    B = patches.shape[0]
 
     k_cache, v_cache = model.apply(params, B, with_actions=action_ids is not None,
                                    method=STMAR.init_cache)
@@ -160,7 +185,8 @@ def generate_latents(model: STMAR, params, prompt: jax.Array,
         k_cache, v_cache = carry
         _, _, k_cache, v_cache = model.apply(
             params, jnp.take(patches, t, axis=1), t, k_cache, v_cache,
-            action_ids, domain_id, method=STMAR.frame_latents)
+            action_ids, domain_id, action_live=action_live,
+            method=STMAR.frame_latents)
         return (k_cache, v_cache), None
 
     (k_cache, v_cache), _ = jax.lax.scan(
@@ -172,7 +198,7 @@ def generate_latents(model: STMAR, params, prompt: jax.Array,
         frame, _, k_cache, v_cache = generate_frame_mar(
             model, params, t, k_cache, v_cache, action_ids, domain_id, key,
             maskgit_steps=maskgit_steps, temperature=temperature, cfg=cfg,
-            batch_size=B)
+            batch_size=B, action_live=action_live)
         out = jax.lax.dynamic_update_slice_in_dim(
             out, frame.astype(out.dtype)[:, None], t, axis=1)
         return (out, k_cache, v_cache), None
@@ -181,7 +207,8 @@ def generate_latents(model: STMAR, params, prompt: jax.Array,
     keys = jax.random.split(key, T - num_prompt_frames)
     (out, _, _), _ = jax.lax.scan(frame_body, (patches, k_cache, v_cache), (ts, keys))
 
-    out = out.reshape(B, T, H // p, W // p, pd)
+    out = out[:B0]  # cfg: the uncond half carries the same guided samples
+    out = out.reshape(B0, T, H // p, W // p, pd)
     return unpatchify(out, p, C)
 
 
@@ -201,13 +228,22 @@ def teacher_forced_latents(model: STMAR, params, latents: jax.Array,
     predictions for frames 1..T-1.
     """
     cfg_model = model.config
-    B, T, H, W, C = latents.shape
+    B0, T, H, W, C = latents.shape
     p = cfg_model.patch_size
     patches = patchify(latents, p)  # (B, T, h_, w_, pd)
     h_, w_ = patches.shape[2], patches.shape[3]
     S = h_ * w_
     pd = patches.shape[-1]
-    patches = patches.reshape(B, T, S, pd)
+    patches = patches.reshape(B0, T, S, pd)
+
+    action_live = None
+    if cfg != 1.0:  # see generate_latents
+        assert action_ids is not None, "cfg != 1 needs action conditioning"
+        patches = jnp.concatenate([patches, patches], axis=0)
+        action_ids = jnp.concatenate([action_ids, action_ids], axis=0)
+        action_live = jnp.concatenate(
+            [jnp.ones((B0,), jnp.float32), jnp.zeros((B0,), jnp.float32)])
+    B = patches.shape[0]
 
     k_cache, v_cache = model.apply(params, B, with_actions=action_ids is not None,
                                    method=STMAR.init_cache)
@@ -218,18 +254,19 @@ def teacher_forced_latents(model: STMAR, params, latents: jax.Array,
         # fill the cache with ground-truth frame t-1
         _, _, k_cache, v_cache = model.apply(
             params, jnp.take(patches, t - 1, axis=1), t - 1, k_cache, v_cache,
-            action_ids, domain_id, method=STMAR.frame_latents)
+            action_ids, domain_id, action_live=action_live,
+            method=STMAR.frame_latents)
         frame, _, _, _ = generate_frame_mar(
             model, params, t, k_cache, v_cache, action_ids, domain_id, key,
             maskgit_steps=maskgit_steps, temperature=temperature, cfg=cfg,
-            batch_size=B)
+            batch_size=B, action_live=action_live)
         return (k_cache, v_cache), frame
 
     ts = jnp.arange(1, T)
     keys = jax.random.split(key, T - 1)
     _, frames = jax.lax.scan(body, (k_cache, v_cache), (ts, keys))
-    frames = jnp.moveaxis(frames, 0, 1)  # (B, T-1, S, pd)
-    frames = frames.reshape(B, T - 1, h_, w_, pd)
+    frames = jnp.moveaxis(frames, 0, 1)[:B0]  # (B0, T-1, S, pd)
+    frames = frames.reshape(B0, T - 1, h_, w_, pd)
     return unpatchify(frames, p, C)
 
 
