@@ -110,6 +110,10 @@ def main(argv=None):
             *(["--domain", args.domain] if args.domain else []),
             *(["--maskgit_steps", str(args.maskgit_steps)]
               if args.maskgit_steps is not None else []),
+            # known-to-both flags must forward explicitly: this parser
+            # consumes them, so they never reach `rest`
+            *(["--num_prompt_frames", str(args.num_prompt_frames)]
+              if args.num_prompt_frames is not None else []),
             *rest])
     assert not rest, f"unknown arguments: {rest}"
     dist.init_distributed()

@@ -52,6 +52,9 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--maskgit_steps", type=int, default=None)
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--cfg", type=float, default=1.0,
+                   help="classifier-free guidance scale (uncond = the "
+                        "trained action-dropout branch; see rollout/mar.py)")
     p.add_argument("--num_prompt_frames", type=int, default=4)
     p.add_argument("--eval_mode", type=str, default="teacher_forced",
                    choices=["teacher_forced", "autoregressive"],
@@ -135,18 +138,24 @@ def main(argv=None):
         if config.action_domains and domain in config.action_domains else 0,
         jnp.int32)
 
+    assert (args.eval_mode == "teacher_forced"
+            or args.num_prompt_frames < config.T), (
+        f"--num_prompt_frames {args.num_prompt_frames} leaves no frames to "
+        f"generate autoregressively (model T={config.T})")
+
     @jax.jit
     def gen_jit(p, lat, act, dom, key):
         if args.eval_mode == "teacher_forced":
             pred = teacher_forced_latents(
                 model, p, lat, act, dom, key,
                 maskgit_steps=args.maskgit_steps,
-                temperature=args.temperature)
+                temperature=args.temperature, cfg=args.cfg)
             out = jnp.concatenate([lat[:, :1], pred], axis=1)
         else:
             out = generate_latents(
                 model, p, lat, args.num_prompt_frames, act, dom, key,
-                maskgit_steps=args.maskgit_steps, temperature=args.temperature)
+                maskgit_steps=args.maskgit_steps, temperature=args.temperature,
+                cfg=args.cfg)
         # reduced inside jit -> replicated global-batch mean; frames the
         # model actually predicted (teacher-forced: 1..T-1, AR: prompt..T-1)
         t0 = 1 if args.eval_mode == "teacher_forced" else args.num_prompt_frames
