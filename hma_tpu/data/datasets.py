@@ -138,13 +138,23 @@ class RawTokenDataset(_MemmapVideoDataset):
 
 class RawFeatureDataset(_MemmapVideoDataset):
     """float16 (N, C, h, w) continuous VAE latents, x SVD_SCALE on read
-    (reference: hma/data.py:298)."""
+    (reference: hma/data.py:298).
+
+    drop_action_ratio extends the reference (which supports action
+    dropping only for the discrete family, train_multi.py:838-839): our
+    STMAR forward handles action_ids=None, and dropped training is what
+    calibrates the classifier-free-guidance uncond branch
+    (rollout/mar.py)."""
 
     def __init__(self, data_dir, window_size, stride=1, filter_interrupts=True,
                  filter_overlaps=False, use_actions=False,
                  max_traj_num=1_000_000, compute_stride_from_freq_table=True,
-                 natural_hz=2, datio_noise_ratio=0.0, domain=None):
+                 natural_hz=2, datio_noise_ratio=0.0, domain=None,
+                 drop_action_ratio=0.0,
+                 rng: Optional[np.random.Generator] = None):
         self.datio_noise_ratio = datio_noise_ratio
+        self.drop_action_ratio = drop_action_ratio
+        self._rng = rng or np.random.default_rng(0)
         self._open(data_dir, window_size, stride, filter_interrupts,
                    filter_overlaps, use_actions, domain or "", max_traj_num,
                    compute_stride_from_freq_table, natural_hz,
@@ -166,7 +176,7 @@ class RawFeatureDataset(_MemmapVideoDataset):
             "c": self.metadata["latent_channels"],
             "domain": self.name,
         }
-        if self.actions is not None:
+        if self.actions is not None and self._rng.uniform() > self.drop_action_ratio:
             d["action_ids"] = self._action_window(start)
         return d
 

@@ -56,6 +56,10 @@ class MultiTaskBatchSampler:
         """This rank's shuffled index pool, tiled up to >= batch_size so a
         tiny domain (or a tiny rank shard) can never emit a short batch —
         batches must stay static-shaped under jit (CLAUDE.md invariant)."""
+        if self.dataset_sizes[task] == 0:
+            raise ValueError(
+                f"dataset {task} has 0 sampleable windows (too few frames "
+                f"for the window/stride?) — it cannot be in the mixture")
         perm = np.random.default_rng(seed).permutation(self.dataset_sizes[task])
         shard = perm[self.rank::self.world_size]
         if len(shard) == 0:  # fewer samples than ranks: fall back to all

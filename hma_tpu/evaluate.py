@@ -52,8 +52,11 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", type=str, default="eval_out")
     p.add_argument("--domain", type=str, default=None)
     p.add_argument("--batch_size", type=int, default=16)
-    p.add_argument("--maskgit_steps", type=int, default=2)
-    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--maskgit_steps", type=int, default=None,
+                   help="default: 2 (discrete) / the model card's value "
+                        "(--use_feature)")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="default: 0.0 greedy (discrete) / 1.0 (--use_feature)")
     p.add_argument("--max_examples", type=int, default=200)
     p.add_argument("--autoregressive_time", action="store_true",
                    help="past num_prompt_frames, condition each frame on "
@@ -101,20 +104,29 @@ def main(argv=None):
     if args.use_feature:
         from hma_tpu.evaluate_feature import main as feature_main
 
-        return feature_main([
+        # every flag this parser knows must forward explicitly — it is
+        # consumed here and never reaches `rest`
+        fwd = [
             "--checkpoint_dir", args.checkpoint_dir,
             "--val_data_dir", args.val_data_dir,
             "--output_dir", args.output_dir,
             "--batch_size", str(args.batch_size),
             "--max_examples", str(args.max_examples),
+            "--seed", str(args.seed),
+            "--fsdp", str(args.fsdp), "--tp", str(args.tp),
+            "--sp", str(args.sp),
             *(["--domain", args.domain] if args.domain else []),
             *(["--maskgit_steps", str(args.maskgit_steps)]
               if args.maskgit_steps is not None else []),
-            # known-to-both flags must forward explicitly: this parser
-            # consumes them, so they never reach `rest`
+            *(["--temperature", str(args.temperature)]
+              if args.temperature is not None else []),
             *(["--num_prompt_frames", str(args.num_prompt_frames)]
               if args.num_prompt_frames is not None else []),
-            *rest])
+            *(["--eval_mode", "autoregressive"]
+              if args.autoregressive_time else []),
+            *(["--use_wandb"] if args.use_wandb else []),
+            *rest]
+        return feature_main(fwd)
     assert not rest, f"unknown arguments: {rest}"
     dist.init_distributed()
     mesh = setup_eval_mesh(fsdp=args.fsdp, tp=args.tp, sp=args.sp,
@@ -154,6 +166,9 @@ def main(argv=None):
                           config=vars(args),
                           use_wandb=args.use_wandb and dist.is_primary())
 
+    steps = args.maskgit_steps if args.maskgit_steps is not None else 2
+    temperature = args.temperature if args.temperature is not None else 0.0
+
     def _tf(p, tok, act, dom, key):
         if args.autoregressive_time:
             n_prompt = (args.num_prompt_frames
@@ -161,12 +176,11 @@ def main(argv=None):
                         else config.num_prompt_frames)
             samples, logits = autoregressive_logits(
                 model, p, tok, n_prompt, act, dom, key,
-                maskgit_steps=args.maskgit_steps,
-                temperature=args.temperature)
+                maskgit_steps=steps, temperature=temperature)
         else:
             samples, logits = teacher_forced_logits(
-                model, p, tok, act, dom, key, maskgit_steps=args.maskgit_steps,
-                temperature=args.temperature)
+                model, p, tok, act, dom, key, maskgit_steps=steps,
+                temperature=temperature)
         # reduced inside jit: global-batch means, replicated on every host
         tf = teacher_forced_metrics(logits, tok[:, 1:], config.factored_vocab_size)
         return samples, tf

@@ -86,22 +86,16 @@ def parse_args(argv=None):
 def _decode_clips(vae_ckpt: str, latents: np.ndarray,
                   clamp: float = 25.0) -> np.ndarray:
     """(B, T, h, w, C) x SVD_SCALE latents -> (B, T, H, W, 3) uint8 via the
-    SVD temporal VAE (reference: evaluate_diffusion.py:194-212; clamp as in
-    visualize.py:157)."""
-    import torch
+    SVD temporal VAE (reference: evaluate_diffusion.py:194-212). The ±25
+    clamp applies to the RAW (unscaled) latents, as the reference does
+    (visualize.py:157)."""
+    from hma_tpu.data.datasets import SVD_SCALE
+    from hma_tpu.rollout.decode import load_svd_decoder
 
-    from hma_tpu.tokenizer.svd_vae import (
-        SVD_SCALE,
-        SVDTemporalVAE,
-        load_svd_vae_torch_weights,
-    )
-
-    params = load_svd_vae_torch_weights(torch.load(vae_ckpt, map_location="cpu"))
-    vae = SVDTemporalVAE()
-    decode = jax.jit(lambda z: vae.apply(params, z, method=SVDTemporalVAE.decode))
+    decode = load_svd_decoder(vae_ckpt)
     out = []
     for i in range(latents.shape[0]):  # per-clip to bound device memory
-        z = jnp.asarray(np.clip(latents[i:i + 1], -clamp, clamp) / SVD_SCALE,
+        z = jnp.asarray(np.clip(latents[i:i + 1] / SVD_SCALE, -clamp, clamp),
                         jnp.float32)
         out.append(np.asarray(decode(z)))
     img = np.concatenate(out)  # (B, T, H, W, 3) in [-1, 1]

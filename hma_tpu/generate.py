@@ -85,6 +85,9 @@ def main(argv=None):
 
     T = args.window_size or config.T
     assert T <= config.T, f"--window_size {T} exceeds the model's T={config.T}"
+    assert args.num_prompt_frames < T, (
+        f"--num_prompt_frames {args.num_prompt_frames} leaves no frames to "
+        f"generate in a {T}-frame window")
     dataset = RawTokenDataset(args.val_data_dir, window_size=T,
                               use_actions=config.use_actions,
                               name=args.domain or "")
@@ -158,6 +161,9 @@ def main_feature(args):
     model, params, config = load_mar_model(args.checkpoint_dir)
     T = args.window_size or config.T
     assert T <= config.T, f"--window_size {T} exceeds the model's T={config.T}"
+    assert args.num_prompt_frames < T, (
+        f"--num_prompt_frames {args.num_prompt_frames} leaves no frames to "
+        f"generate in a {T}-frame window")
     dataset = RawFeatureDataset(args.val_data_dir, window_size=T,
                                 use_actions=config.use_actions,
                                 domain=args.domain)

@@ -46,10 +46,32 @@ def make_token_decoder(params: dict, config: Optional[VQConfig] = None,
     return decode
 
 
+def load_svd_decoder(vae_checkpoint: str) -> Callable:
+    """torch SVD-VAE state_dict file -> jitted decode fn taking
+    (B, T, h, w, C) RAW (unscaled) latents -> (B, T, H, W, 3) in [-1, 1].
+
+    The single loading path for every latent→pixel consumer (eval,
+    visualize, demo) so the load/jit/clamp conventions cannot drift."""
+    import torch
+
+    from hma_tpu.tokenizer.svd_vae import (
+        SVDTemporalVAE,
+        load_svd_vae_torch_weights,
+    )
+
+    params = load_svd_vae_torch_weights(
+        torch.load(vae_checkpoint, map_location="cpu"))
+    vae = SVDTemporalVAE()
+    return jax.jit(lambda z: vae.apply(params, z, method=SVDTemporalVAE.decode))
+
+
 def make_feature_decoder(vae_decode_fn: Callable, batch_size: int = 16,
                          clamp: float = 25.0) -> Callable[[np.ndarray], np.ndarray]:
     """Continuous path: latents (N, C, h, w) already x SVD_SCALE in the
-    dataset; divide back and decode via the provided SVD-VAE decoder
+    dataset; divide back, clamp the RAW values to ±25 (the reference
+    clamps unscaled latents, visualize.py:157 — clamping the scaled
+    stream would admit raw values up to ~137 on a diverging rollout),
+    and decode via the provided SVD-VAE decoder
     (reference: hma/evaluate_diffusion.py:194-212)."""
 
     def decode(latents: np.ndarray) -> np.ndarray:
@@ -57,8 +79,8 @@ def make_feature_decoder(vae_decode_fn: Callable, batch_size: int = 16,
         n = len(latents)
         for i in range(math.ceil(n / batch_size)):
             shard = np.asarray(latents[i * batch_size:(i + 1) * batch_size], np.float32)
-            shard = np.clip(shard, -clamp, clamp)
-            img = vae_decode_fn(shard / SVD_SCALE)
+            shard = np.clip(shard / SVD_SCALE, -clamp, clamp)
+            img = vae_decode_fn(shard)
             out.append(np.asarray(img))
         if not out:  # np.concatenate([]) raises on an empty batch
             return np.zeros((0, 0, 0, 3), np.uint8)

@@ -92,6 +92,14 @@ def generate_frame_mar(model: STMAR, params, t, k_cache, v_cache,
         assert B % 2 == 0 and action_live is not None, (
             "cfg != 1 requires a caller-doubled [cond | uncond] batch with "
             "action_live set (use generate_latents/teacher_forced_latents)")
+        # the uncond half substitutes action_mask_tokens, which only ever
+        # receive gradient when jointly_predict_actions=True (the shipped
+        # mar_* cards set it false); guiding against a never-trained
+        # branch silently amplifies noise
+        assert cfg_model.jointly_predict_actions, (
+            "cfg != 1 needs a trained unconditional branch: train with "
+            "jointly_predict_actions=true and drop_action_ratio > 0 so the "
+            "action-mask-token branch receives gradient")
         # identical per-row orders across the halves so cond/uncond rows
         # stay position-paired through the flattened diffusion batch
         half = jax.vmap(lambda k: jax.random.permutation(k, S))(

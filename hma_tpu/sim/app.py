@@ -42,26 +42,17 @@ def _is_continuous(checkpoint_dir: str) -> bool:
 def _make_latent_decoder(vae_checkpoint: str):
     """SVD temporal VAE pixel decode for the STMAR backbone
     (reference: sim/simulator.py:233-372 decodes through the SVD VAE)."""
-    import jax
     import jax.numpy as jnp
-    import torch
 
-    from hma_tpu.tokenizer.svd_vae import (
-        SVD_SCALE,
-        SVDTemporalVAE,
-        load_svd_vae_torch_weights,
-    )
+    from hma_tpu.data.datasets import SVD_SCALE
+    from hma_tpu.rollout.decode import load_svd_decoder
 
-    params = load_svd_vae_torch_weights(
-        torch.load(vae_checkpoint, map_location="cpu"))
-    vae = SVDTemporalVAE()
-    decode = jax.jit(lambda z: vae.apply(params, z, method=SVDTemporalVAE.decode))
+    decode = load_svd_decoder(vae_checkpoint)
 
     def decode_latents(lat_nhwc: np.ndarray) -> np.ndarray:
         # GenieSimulator contract: (N, h, w, C) x SVD_SCALE -> (N, H, W, 3)
         # uint8. Clamp the RAW (unscaled) latents to +/-25, like the
-        # reference (hma/visualize.py:157); clamping before unscaling
-        # would admit raw values up to ~137 on a diverging rollout.
+        # reference (hma/visualize.py:157).
         z = jnp.asarray(np.clip(np.asarray(lat_nhwc) / SVD_SCALE,
                                 -25.0, 25.0), jnp.float32)[None]
         img = np.asarray(decode(z))[0]  # (N, H, W, 3) in [-1, 1]

@@ -132,9 +132,11 @@ def build_domain_datasets(args: TrainArgs, config):
     kwargs = dict(window_size=args.window_size, stride=args.stride,
                   max_traj_num=args.num_episodes_per_dataset,
                   use_actions=config.use_actions)
-    if discrete and getattr(config, "drop_action_ratio", 0.0):
-        # dropping actions is only supported with the CE loss
-        # (reference: train_multi.py:838-839)
+    if getattr(config, "drop_action_ratio", 0.0):
+        # the reference plumbs this for the discrete family only
+        # (train_multi.py:838-839); here both families support it — the
+        # STMAR forward handles dropped actions, and dropped continuous
+        # training calibrates the CFG uncond branch (rollout/mar.py)
         kwargs["drop_action_ratio"] = config.drop_action_ratio
 
     train_sets, val_sets, action_dims, action_stats = [], [], [], []

@@ -55,19 +55,23 @@ def save_checkpoint(output_dir: str, tag: str, state: Any, config=None,
 
 
 def _step_dirs(output_dir: str) -> list[tuple[float, Path]]:
-    """Checkpoint dirs, oldest first. step_N and epoch_N counters are not
-    comparable (epoch_2 vs step_1000), so ordering uses creation mtime —
-    pruning and resume-latest then always act on true recency, even when
-    a run mixes checkpointing_steps modes."""
+    """Checkpoint dirs, oldest first.
+
+    When every dir shares one prefix (the normal case), order by the
+    counter — immune to mtime-scrambling copies (cp -r, gsutil/rsync).
+    step_N and epoch_N counters are not comparable to each other, so a
+    run that mixed checkpointing modes falls back to mtime recency."""
     out = Path(output_dir)
     dirs = []
     if not out.is_dir():
         return dirs
     for d in out.iterdir():
-        m = re.fullmatch(r"(?:step|epoch)_(\d+)", d.name)
+        m = re.fullmatch(r"(step|epoch)_(\d+)", d.name)
         if m and d.is_dir():
-            dirs.append((d.stat().st_mtime, d))
-    return sorted(dirs)
+            dirs.append((m.group(1), int(m.group(2)), d))
+    if len({kind for kind, _, _ in dirs}) <= 1:
+        return [(float(n), d) for _, n, d in sorted(dirs, key=lambda x: x[1])]
+    return sorted(((d.stat().st_mtime, d) for _, _, d in dirs))
 
 
 def prune_checkpoints(output_dir: str, keep_last: int,

@@ -69,19 +69,11 @@ def comic_strip(rows: list[list[Image.Image]], labels: list[str]) -> Image.Image
 def make_latent_frame_decoder(vae_checkpoint: str):
     """(N, h, w, C) raw SVD-VAE latents -> (N, H, W, 3) uint8 frames
     (reference decode path: visualize.py:152-169; clamp ±25 as in :157)."""
-    import jax
     import jax.numpy as jnp
-    import torch
 
-    from hma_tpu.tokenizer.svd_vae import (
-        SVDTemporalVAE,
-        load_svd_vae_torch_weights,
-    )
+    from hma_tpu.rollout.decode import load_svd_decoder
 
-    params = load_svd_vae_torch_weights(
-        torch.load(vae_checkpoint, map_location="cpu"))
-    vae = SVDTemporalVAE()
-    dec = jax.jit(lambda z: vae.apply(params, z, method=SVDTemporalVAE.decode))
+    dec = load_svd_decoder(vae_checkpoint)
 
     def decode(lat_nhwc: np.ndarray) -> np.ndarray:
         z = jnp.asarray(np.clip(lat_nhwc, -25.0, 25.0),
