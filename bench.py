@@ -11,12 +11,32 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
 
+# A healthy full run takes ~16 min (compile-cache cold) on the dev rig.
+# The axon tunnel can hard-hang (observed: an 8h outage where even
+# jnp.ones never returned and no exception was raised), which would
+# stall the whole round-end pipeline — fail loudly instead.
+WATCHDOG_SECS = int(os.environ.get("HMA_TPU_BENCH_TIMEOUT", 2700))
+
+
+def _watchdog():
+    time.sleep(WATCHDOG_SECS)
+    print(json.dumps({
+        "metric": "rollout_frames_per_sec_chip_362M_discrete",
+        "value": None,
+        "unit": "frames/sec/chip",
+        "error": f"bench exceeded {WATCHDOG_SECS}s — TPU tunnel "
+                 f"unreachable/hung; no measurement taken",
+    }), flush=True)
+    os._exit(3)
+
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
     import jax.numpy as jnp
 
