@@ -117,7 +117,7 @@ def run_train(B=8, num_domains=8):
            "compile_s": round(compile_s, 1)})
 
 
-def run_rollout(B=8):
+def run_rollout(B=8, maskgit_steps=None, sampling_steps=None):
     import jax
     import jax.numpy as jnp
 
@@ -128,6 +128,10 @@ def run_rollout(B=8):
     from hma_tpu.rollout.mar import make_mar_generator
 
     cfg = _config()
+    if maskgit_steps is not None:
+        cfg.maskgit_steps = maskgit_steps
+    if sampling_steps is not None:
+        cfg.num_sampling_steps = sampling_steps
     model = STMAR(cfg)
     lat, _mask, actions, dom = _data(cfg, B)
     params = model.init(
@@ -158,9 +162,51 @@ def run_rollout(B=8):
            "compile_s": round(compile_s, 1)})
 
 
+def run_trace(B=8):
+    """Capture a jax.profiler device trace of the MAR rollout window and
+    print the per-segment breakdown (parser shared with trace_step.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    import trace_step
+
+    trace_step.TRACE_DIR = "/tmp/hma_mar_trace"
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hma_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from hma_tpu.models.st_mar import STMAR
+    from hma_tpu.rollout.mar import make_mar_generator
+
+    cfg = _config()
+    model = STMAR(cfg)
+    lat, _mask, actions, dom = _data(cfg, B)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "action_drop": jax.random.PRNGKey(2)}, lat, lat, actions, dom,
+        jnp.zeros((B, cfg.T, cfg.h, cfg.h), jnp.int32))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    run = make_mar_generator(model, num_prompt_frames=2,
+                             maskgit_steps=cfg.maskgit_steps)
+    _force(run(params, lat, actions, dom, jax.random.PRNGKey(0)))  # compile
+    with jax.profiler.trace("/tmp/hma_mar_trace"):
+        out = run(params, lat, actions, dom, jax.random.PRNGKey(1))
+        _force(out)
+    trace_step.parse()
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["train", "rollout"]
     if "train" in which:
         run_train()
     if "rollout" in which:
         run_rollout()
+    if "trace" in which:
+        run_trace()
+    if "breakdown" in which:
+        # Decompose the rollout window: vary maskgit x diffusion steps.
+        # window ~= maskgit*(trunk_fwd + diff_steps*mlp_step) + const, so
+        # these three points solve for the trunk and diffusion-head costs.
+        run_rollout(maskgit_steps=16, sampling_steps="100")
+        run_rollout(maskgit_steps=16, sampling_steps="25")
+        run_rollout(maskgit_steps=4, sampling_steps="100")

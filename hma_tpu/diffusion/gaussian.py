@@ -231,6 +231,24 @@ def training_losses(net_apply: Callable, sched: DiffusionSchedule,
     return {"loss": mse + vb, "mse": mse, "vb": vb}
 
 
+def _p_sample_step(sched: DiffusionSchedule, x: jax.Array, idx: jax.Array,
+                   out: jax.Array, k: jax.Array, temperature: float,
+                   clip_denoised: bool) -> jax.Array:
+    """One ancestral-sampling update given the net output for step `idx`
+    (reference: gaussian_diffusion.py:358-392)."""
+    t = jnp.full((x.shape[0],), idx, jnp.int32)
+    C = x.shape[-1]
+    eps, v = out[..., :C], out[..., C:]
+    x0_pred = predict_x0_from_eps(sched, x, t, eps)
+    if clip_denoised:
+        x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+    mean = q_posterior_mean(sched, x0_pred, x, t)
+    logvar = learned_range_log_variance(sched, t, v, x.ndim)
+    z = jax.random.normal(k, x.shape, jnp.float32)
+    nonzero = (idx != 0).astype(jnp.float32)
+    return mean + nonzero * jnp.exp(0.5 * logvar) * z * temperature
+
+
 def p_sample_loop(net_apply: Callable, sched: DiffusionSchedule,
                   noise: jax.Array, cond, key: jax.Array, *,
                   temperature: float = 1.0, clip_denoised: bool = False):
@@ -244,16 +262,29 @@ def p_sample_loop(net_apply: Callable, sched: DiffusionSchedule,
         key, k = jax.random.split(key)
         t = jnp.full((x.shape[0],), idx, jnp.int32)
         out = net_apply(x, jnp.take(tmap, t), cond)
-        C = x.shape[-1]
-        eps, v = out[..., :C], out[..., C:]
-        x0_pred = predict_x0_from_eps(sched, x, t, eps)
-        if clip_denoised:
-            x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
-        mean = q_posterior_mean(sched, x0_pred, x, t)
-        logvar = learned_range_log_variance(sched, t, v, x.ndim)
-        z = jax.random.normal(k, x.shape, jnp.float32)
-        nonzero = (idx != 0).astype(jnp.float32)
-        x = mean + nonzero * jnp.exp(0.5 * logvar) * z * temperature
+        x = _p_sample_step(sched, x, idx, out, k, temperature, clip_denoised)
+        return (x.astype(noise.dtype), key), None
+
+    steps = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    (x, _), _ = jax.lax.scan(body, (noise, key), steps)
+    return x
+
+
+def p_sample_loop_indexed(net_apply_idx: Callable, sched: DiffusionSchedule,
+                          noise: jax.Array, key: jax.Array, *,
+                          temperature: float = 1.0,
+                          clip_denoised: bool = False):
+    """p_sample_loop for nets keyed by the *respaced step index* instead of
+    (t, cond) — used by the premodulated sampler (diffloss.py), which
+    precomputes every timestep-/cond-dependent quantity for all steps in
+    one batched pass and only runs the x-dependent residual MLP inside the
+    sequential loop. RNG sequence is identical to p_sample_loop."""
+
+    def body(carry, idx):
+        x, key = carry
+        key, k = jax.random.split(key)
+        out = net_apply_idx(x, idx)
+        x = _p_sample_step(sched, x, idx, out, k, temperature, clip_denoised)
         return (x.astype(noise.dtype), key), None
 
     steps = jnp.arange(sched.num_timesteps - 1, -1, -1)

@@ -100,6 +100,45 @@ def test_diffloss_train_and_sample():
     np.testing.assert_allclose(np.asarray(s2[:8]), np.asarray(s2[8:]), rtol=1e-4, atol=1e-5)
 
 
+def test_premod_sampler_matches_loop():
+    """The premodulated sampler (precompute all (t, c)-dependent work,
+    loop only the residual MLP) must reproduce the direct per-step net
+    evaluation exactly — same ops, same order, same RNG sequence — for
+    both the plain and the domain-stacked head, with and without CFG."""
+    for num_domains in (0, 3):
+        dom = None if num_domains == 0 else jnp.asarray(1, jnp.int32)
+        model = DiffLoss(target_channels=5, z_channels=12, depth=2, width=48,
+                         num_sampling_steps="15", num_domains=num_domains,
+                         dtype=jnp.bfloat16)
+        rng = np.random.default_rng(1)
+        target = jnp.asarray(rng.normal(size=(6, 5)), jnp.float32)
+        z = jnp.asarray(rng.normal(size=(6, 12)), jnp.float32)
+        params = model.init({"params": jax.random.PRNGKey(0),
+                             "diffusion": jax.random.PRNGKey(1)},
+                            target, z, None, dom, method=DiffLoss.loss)
+        # DiT zero-init leaves every adaLN/final kernel at 0, which would
+        # make the comparison vacuous — randomize all params
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+        params = jax.tree.unflatten(
+            treedef, [0.05 * jax.random.normal(k, l.shape, l.dtype)
+                      for k, l in zip(keys, leaves)])
+
+        for cfg_scale, temp, clip in [(1.0, 1.0, False), (1.0, 0.7, True),
+                                      (1.5, 1.0, True)]:
+            zz = (jnp.concatenate([z, 0.5 * z], axis=0)
+                  if cfg_scale != 1.0 else z)
+            direct = model.apply(params, zz, jax.random.PRNGKey(7), temp,
+                                 cfg_scale, clip, dom, False,
+                                 method=DiffLoss.sample)
+            premod = model.apply(params, zz, jax.random.PRNGKey(7), temp,
+                                 cfg_scale, clip, dom, True,
+                                 method=DiffLoss.sample)
+            assert np.isfinite(np.asarray(direct)).all()
+            np.testing.assert_array_equal(np.asarray(premod),
+                                          np.asarray(direct))
+
+
 def test_diffloss_overfits_conditional_mean():
     """With enough steps, samples should drift toward the (conditional)
     target distribution — sanity check that the loss trains the net."""
