@@ -298,6 +298,9 @@ class DiffLoss(nn.Module):
     num_sampling_steps: str = "100"
     num_domains: int = 0  # > 0: domain-stacked net
     dtype: jnp.dtype = jnp.bfloat16
+    # None: auto (TPU + supported shapes). True: force the fused denoise
+    # loop kernel (interpret-mode off-TPU — for tests). False: never.
+    loop_kernel: Optional[bool] = None
 
     def setup(self):
         if self.num_domains > 0:
@@ -392,7 +395,9 @@ class DiffLoss(nn.Module):
         """sample() via premod_phases + p_sample_loop_indexed. Bit-exact
         with the direct path: identical ops in the same order, identical
         RNG sequence — only the batching of the (t, c)-only computations
-        differs (verified by tests/test_diffusion.py)."""
+        differs (verified by tests/test_diffusion.py). On TPU, supported
+        shapes run the whole loop as one VMEM-resident Pallas kernel
+        (ops/diffusion_sampler.py; tolerance-tested vs this path)."""
         sched = self.gen_sched
         net_params = self.variables["params"]["net"]
         precompute, residual = premod_phases(
@@ -401,6 +406,10 @@ class DiffLoss(nn.Module):
         t_all = jnp.asarray(sched.timestep_map)  # net sees original timesteps
         mods = precompute(t_all, z)
         C = self.target_channels
+
+        if self._use_loop_kernel(z.shape[0], temperature, cfg):
+            return self._sample_kernel(z, key, mods, float(temperature),
+                                       float(cfg), clip_denoised, domain_id)
 
         if cfg != 1.0:
             n = z.shape[0] // 2
@@ -428,3 +437,76 @@ class DiffLoss(nn.Module):
         return p_sample_loop_indexed(net_idx, sched, noise, key,
                                      temperature=temperature,
                                      clip_denoised=clip_denoised)
+
+    def _use_loop_kernel(self, n_rows: int, temperature, cfg) -> bool:
+        from hma_tpu.ops.diffusion_sampler import supported
+
+        if self.loop_kernel is False:
+            return False
+        if not isinstance(temperature, (int, float)):
+            return False
+        if not isinstance(cfg, (int, float)):
+            return False
+        if self.loop_kernel is True:
+            return True
+        if jax.default_backend() in ("cpu", "gpu"):
+            return False
+        return supported(self.gen_sched.num_timesteps, n_rows,
+                         self.target_channels, self.width, self.depth,
+                         self.dtype)
+
+    def _loop_kernel_fc_params(self, domain_id):
+        """Extract (and for the domain net, slice) the sequential-phase
+        weights, cast to the compute dtype so they sit in VMEM at bf16."""
+        P = self.variables["params"]["net"]
+        names = (["input_proj", "final_linear"]
+                 + [f"res_{j}_fc1" for j in range(self.depth)]
+                 + [f"res_{j}_fc2" for j in range(self.depth)])
+        fc = {}
+        sl = (lambda a: jnp.take(a, domain_id, axis=0)) \
+            if self.num_domains > 0 else (lambda a: a)
+        for n in names:
+            fc[n] = {"kernel": sl(P[n]["kernel"]).astype(self.dtype),
+                     "bias": sl(P[n]["bias"]).astype(self.dtype)}
+        for j in range(self.depth):
+            ln = P[f"res_{j}_ln"]
+            fc[f"res_{j}_ln"] = {"scale": sl(ln["scale"]),
+                                 "bias": sl(ln["bias"])}
+        return fc
+
+    def _sample_kernel(self, z, key, mods, temperature, cfg, clip_denoised,
+                       domain_id):
+        from hma_tpu.ops.diffusion_sampler import (
+            fused_denoise_loop, pregenerate_noises, schedule_table)
+
+        sched = self.gen_sched
+        C = self.target_channels
+        N = z.shape[0]
+        if cfg != 1.0:
+            n_half = N // 2
+            noise = jax.random.normal(key, (n_half, C), jnp.float32)
+            noise = jnp.concatenate([noise, noise], axis=0)
+        else:
+            n_half = 0
+            noise = jax.random.normal(key, (N, C), jnp.float32)
+        key = jax.random.fold_in(key, 1)
+        zs = pregenerate_noises(key, sched.num_timesteps, N, C)
+        mods_cat = jnp.concatenate(list(mods["blocks"]) + [mods["final"]],
+                                   axis=-1)
+        # Mosaic DMAs slice the mods row axis, which must be aligned to
+        # the (16, 128) bf16 tile; pad rows AFTER the RNG draws (so real
+        # rows get the same normals as the XLA path) — pads ride along
+        # inertly at the tail and are sliced off here.
+        pad = (-N) % 16
+        if pad:
+            noise = jnp.pad(noise, ((0, pad), (0, 0)))
+            zs = jnp.pad(zs, ((0, 0), (0, pad), (0, 0)))
+            mods_cat = jnp.pad(mods_cat, ((0, 0), (0, pad), (0, 0)))
+        out = fused_denoise_loop(
+            noise, zs, mods_cat, jnp.asarray(schedule_table(sched)),
+            self._loop_kernel_fc_params(domain_id), depth=self.depth,
+            temperature=temperature, clip_denoised=clip_denoised,
+            domain_ln=self.num_domains > 0, n_half=n_half, cfg=cfg,
+            dtype=self.dtype,
+            interpret=jax.default_backend() in ("cpu", "gpu"))
+        return out[:N] if pad else out
