@@ -1,0 +1,107 @@
+"""Width-scaling data point: the d488 discrete card's training step on
+one real TPU chip.
+
+PROFILE_r3.md argues the d256 flagship is HBM-bound (57.6 FLOP/byte vs
+the v5e ridge at ~240) and that "MFU rises with width exactly where this
+framework is intended to scale". This probe measures that claim on the
+reference's own larger card (magvit_n32_h8_d512_action.json, d_model
+488 — the reference's value): same trainer defaults as bench.py (full
+remat, Pallas attention kernels, domain-sliced AdamW, donated state),
+fewer domains (8) so fp32 master params + sliced moments fit one
+v5e-lite chip — width scaling is about the trunk, whose size is
+domain-count-independent.
+
+Run: /opt/venv/bin/python experiments/d488_probe.py
+Prints one JSON line; appends to /tmp/d488_probe.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hma_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _flagship_config
+    from hma_tpu.config import GenieConfig
+    from hma_tpu.models.st_mask_git import STMaskGIT
+    from hma_tpu.train.step import (TrainState, make_optimizer,
+                                    make_train_step)
+
+    B = 8
+    cfg = _flagship_config(num_domains=8)
+    card = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "hma_tpu", "configs",
+        "magvit_n32_h8_d512_action.json")
+    big = GenieConfig.from_pretrained(card)
+    for f in ("num_layers", "num_heads", "d_model", "qk_norm", "qkv_bias",
+              "proj_bias", "mlp_ratio", "mlp_bias", "mlp_drop", "use_mup"):
+        if hasattr(big, f):
+            setattr(cfg, f, getattr(big, f))
+    cfg.__post_init__()
+
+    model = STMaskGIT(cfg, remat=True)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(
+        rng.integers(0, cfg.image_vocab_size, (B, cfg.T, cfg.S)), jnp.int32)
+    actions = jnp.asarray(
+        rng.normal(size=(B, cfg.T, cfg.max_d_action)), jnp.float32)
+    domain_id = jnp.asarray(0, jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        tokens, tokens, actions, domain_id)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+    inp = np.asarray(tokens).copy()
+    inp[:, 1:, : cfg.S // 2] = cfg.image_vocab_size
+    batch = {"input_ids": jnp.asarray(inp), "labels": tokens,
+             "action_ids": actions, "domain_id": domain_id}
+
+    tx = make_optimizer(1e-4)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    params = None
+
+    def force(s):
+        return float(jnp.sum(
+            s.params["params"]["pos_embed_TSC"].astype(jnp.float32)))
+
+    state, _ = step(state, batch, jax.random.PRNGKey(0))  # compile
+    state, _ = step(state, batch, jax.random.PRNGKey(1))  # warm
+    force(state)
+    t0 = time.perf_counter()
+    for i in range(10):
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+    force(state)
+    dt = (time.perf_counter() - t0) / 10
+
+    tokens_per_step = B * cfg.T * cfg.S
+    rec = {
+        "metric": "train_step_d488_discrete",
+        "s_per_step": round(dt, 4),
+        "params_M": round(n_params / 1e6, 1),
+        "tokens_per_sec": round(tokens_per_step / dt),
+        "model_tflops_per_sec": round(
+            6 * n_params * tokens_per_step / dt / 1e12, 1),
+        "batch": B,
+        "num_domains": 8,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(rec), flush=True)
+    with open("/tmp/d488_probe.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
