@@ -57,6 +57,16 @@ class GenieConfig:
     d_actions: Optional[List[int]] = None
     action_stats: Optional[list] = None  # per-domain [mean, std] lists
     action_network: str = "mlp"
+    # "fixed" (default): correct per-head cross-attention for the
+    # "cross_attention" action network. "reference": bit-faithful
+    # emulation of the reference BasicCrossAttention quirk — no head
+    # transpose, so attention runs ACROSS the head axis and the output
+    # reshape scrambles (head, time) (hma/model/attention.py:111-132) —
+    # required to import checkpoints trained with that mode. The quirk
+    # mixes timesteps, so only full-forward paths support it (training,
+    # compute_logits, full-recompute generation); the KV-cached frame
+    # paths refuse it.
+    cross_attention_compat: str = "fixed"
     shared_action_mlps: bool = True
     action_contrastive_loss: bool = False
     jointly_predict_actions: bool = False

@@ -181,24 +181,37 @@ class DomainCrossAttention(nn.Module):
     Unlike the reference (one BasicCrossAttention per domain,
     st_transformer.py:103), all domains share attention weights here via
     stacked kernels in DomainDense form. q: (B, N, C); kv: (B, M, C).
+
+    compat="reference" reproduces the reference BasicCrossAttention
+    computation exactly (hma/model/attention.py:95-132) so checkpoints
+    trained with action_network="cross_attention" import faithfully:
+      - the `.repeat` k/v tiling mispairs examples: query row i=b*S+s of
+        the (B*S, T, C) view reads action row i % B;
+      - q/k/v stay (B', T, H, D) with NO head transpose, so torch's
+        batched matmul contracts over head_dim and attention runs
+        ACROSS THE HEAD AXIS, per (row, timestep): softmax over an
+        (H, H) table;
+      - the output `transpose(1, 2).reshape(B', T, C)` reinterprets the
+        (H, T, D) block as (T, H*D), scrambling heads across timesteps.
+    In that mode q must be the (B, S, T, C) view (the caller's
+    pre-flatten layout) so the row pairing is recoverable.
+    Note the reference always builds its action projectors with
+    num_heads=8, qk_norm=True and muP scale 8/head_dim regardless of the
+    trunk config (st_mask_git.py:245-247) — both modes here match that.
     """
 
     num_domains: int
     num_heads: int
     d_model: int
     dtype: jnp.dtype = jnp.bfloat16
+    compat: str = "fixed"
 
     @nn.compact
     def __call__(self, q: jax.Array, kv: jax.Array, domain_id: jax.Array) -> jax.Array:
         head_dim = self.d_model // self.num_heads
         scale = 8.0 / head_dim  # muP-style scale, matching BasicCrossAttention default
-        B, N, C = q.shape
-        M = kv.shape[1]
         dd = lambda name: DomainDense(self.num_domains, self.d_model, self.d_model,
                                       use_bias=False, dtype=self.dtype, name=name)
-        qh = dd("to_q")(q, domain_id).reshape(B, N, self.num_heads, head_dim)
-        kh = dd("to_k")(kv, domain_id).reshape(B, M, self.num_heads, head_dim)
-        vh = dd("to_v")(kv, domain_id).reshape(B, M, self.num_heads, head_dim)
         # shared fp32 qk-norm, as in BasicCrossAttention (attention.py:121-127)
         ln_scale = self.param("qk_ln_scale", nn.initializers.ones, (self.num_domains, head_dim), jnp.float32)
         ln_bias = self.param("qk_ln_bias", nn.initializers.zeros, (self.num_domains, head_dim), jnp.float32)
@@ -211,13 +224,40 @@ class DomainCrossAttention(nn.Module):
             var = jnp.var(u32, axis=-1, keepdims=True)
             return ((u32 - mu) * jax.lax.rsqrt(var + 1e-5) * g + b).astype(self.dtype)
 
+        proj = DomainDense(self.num_domains, self.d_model, self.d_model,
+                           use_bias=True, dtype=self.dtype, name="proj")
+
+        if self.compat == "reference":
+            B, S, T, C = q.shape
+            H, D = self.num_heads, head_dim
+            # torch `.repeat` pairing: query row i = b*S+s uses kv[i % B]
+            idx = (jnp.arange(B)[:, None] * S + jnp.arange(S)[None, :]) % B
+            kvp = jnp.take(kv[:, :T], idx, axis=0)  # (B, S, T, C)
+            qh = dd("to_q")(q, domain_id).reshape(B, S, T, H, D)
+            kh = dd("to_k")(kvp, domain_id).reshape(B, S, T, H, D)
+            vh = dd("to_v")(kvp, domain_id).reshape(B, S, T, H, D)
+            qh, kh = _ln(qh), _ln(kh)
+            qh = qh * jnp.asarray(scale, self.dtype)
+            # head-axis attention: per (b, s, t), an (H, H) softmax table
+            logits = jnp.einsum("bsthd,bstgd->bsthg", qh, kh,
+                                preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bsthg,bstgd->bsthd", probs, vh)
+            # torch (B', T, H, D).transpose(1, 2).reshape(B', T, C): the
+            # (H, T, D) block reinterpreted row-major as (T, H*D)
+            out = out.transpose(0, 1, 3, 2, 4).reshape(B, S, T, C)
+            return proj(out, domain_id)
+
+        B, N, C = q.shape
+        M = kv.shape[1]
+        qh = dd("to_q")(q, domain_id).reshape(B, N, self.num_heads, head_dim)
+        kh = dd("to_k")(kv, domain_id).reshape(B, M, self.num_heads, head_dim)
+        vh = dd("to_v")(kv, domain_id).reshape(B, M, self.num_heads, head_dim)
         qh, kh = _ln(qh), _ln(kh)
         qh = qh * jnp.asarray(scale, self.dtype)
         logits = jnp.einsum("bnhd,bmhd->bhnm", qh, kh, preferred_element_type=jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", probs, vh).reshape(B, N, C)
-        proj = DomainDense(self.num_domains, self.d_model, self.d_model,
-                           use_bias=True, dtype=self.dtype, name="proj")
         return proj(out, domain_id)
 
 

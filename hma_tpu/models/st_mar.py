@@ -72,6 +72,8 @@ class STMAR(nn.Module):
             mlp_bias=cfg.mlp_bias, mlp_drop=cfg.mlp_drop,
             action_processing=cfg.action_network, num_domains=cfg.num_domains,
             dtype=self.dtype, remat=self.remat,
+            cross_attention_compat=getattr(cfg, "cross_attention_compat",
+                                           "fixed"),
             remat_policy=self.remat_policy, name="decoder")
         self.pos_embed_TSC = self.param(
             "pos_embed_TSC", nn.initializers.zeros,

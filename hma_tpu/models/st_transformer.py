@@ -73,6 +73,8 @@ class STBlock(nn.Module):
     action_processing: str = "mlp"  # substring-matched: mlp | cross_attention | modulate
     num_domains: int = 0
     dtype: jnp.dtype = jnp.bfloat16
+    # "fixed" | "reference": see GenieConfig.cross_attention_compat
+    cross_attention_compat: str = "fixed"
 
     def setup(self):
         attn_kwargs = dict(num_heads=self.num_heads, d_model=self.d_model,
@@ -91,7 +93,9 @@ class STBlock(nn.Module):
             if "cross_attention" in self.action_processing:
                 self.action_projector = DomainCrossAttention(
                     num_domains=self.num_domains, num_heads=8,
-                    d_model=self.d_model, dtype=self.dtype, name="action_projector")
+                    d_model=self.d_model, dtype=self.dtype,
+                    compat=self.cross_attention_compat,
+                    name="action_projector")
             elif "modulate" in self.action_processing:
                 self.action_projector = DomainModulate(
                     num_domains=self.num_domains, d_model=self.d_model,
@@ -112,6 +116,11 @@ class STBlock(nn.Module):
             return x_BSTC + action_emb[:, None, :T]
         if "cross_attention" in self.action_processing:
             B, S, _, C = x_BSTC.shape
+            if self.cross_attention_compat == "reference":
+                # quirk-exact path needs the (B, S, T, C) view to recover
+                # the reference's row pairing (see DomainCrossAttention)
+                return x_BSTC + self.action_projector(
+                    x_BSTC, action_emb[:, :T], domain_id)
             q = x_BSTC.reshape(B, S * T, C)
             out = self.action_projector(q, action_emb[:, :T], domain_id)
             return x_BSTC + out.reshape(B, S, T, C)
@@ -164,6 +173,13 @@ class STBlock(nn.Module):
                     action_emb, t[None, None, None].astype(jnp.int32), axis=1)
                 x_SC = x_SC + cond_t * live
             elif "cross_attention" in self.action_processing:
+                if self.cross_attention_compat == "reference":
+                    raise NotImplementedError(
+                        "cross_attention_compat='reference' mixes "
+                        "timesteps (the scrambled head/time reshape, "
+                        "hma/model/attention.py:130), so per-frame cached "
+                        "decode cannot be exact — use the full-recompute "
+                        "rollout (rollout.maskgit.generate_tokens_full)")
                 x_SC = x_SC + self.action_projector(x_SC, action_emb,
                                                     domain_id) * live
             elif "modulate" in self.action_processing:
@@ -202,6 +218,11 @@ class STBlock(nn.Module):
             if "mlp" in self.action_processing:
                 x_FSC = x_FSC + cond[:, :, None]
             elif "cross_attention" in self.action_processing:
+                if self.cross_attention_compat == "reference":
+                    raise NotImplementedError(
+                        "cross_attention_compat='reference' mixes "
+                        "timesteps; cached window decode cannot be exact "
+                        "— use rollout.maskgit.generate_tokens_full")
                 q = x_FSC.reshape(B, F * S, C)
                 out = self.action_projector(q, action_emb, domain_id)
                 x_FSC = x_FSC + out.reshape(B, F, S, C)
@@ -234,6 +255,7 @@ class STTransformerDecoder(nn.Module):
     action_processing: str = "mlp"
     num_domains: int = 0
     dtype: jnp.dtype = jnp.bfloat16
+    cross_attention_compat: str = "fixed"
     remat: bool = False
     # "full": recompute the whole block in the backward (min memory,
     # +1 extra fwd of compute). "dots": save matmul outputs, recompute
@@ -265,6 +287,7 @@ class STTransformerDecoder(nn.Module):
                   mlp_bias=self.mlp_bias, mlp_drop=self.mlp_drop,
                   action_processing=self.action_processing,
                   num_domains=self.num_domains, dtype=self.dtype,
+                  cross_attention_compat=self.cross_attention_compat,
                   name=f"layers_{i}")
             for i in range(self.num_layers)
         ]

@@ -186,6 +186,82 @@ def generate_tokens(model: STMaskGIT, params, prompt_TS, num_prompt_frames: int,
     return out
 
 
+def _refine_frame_full(model: STMaskGIT, params, cur_TS, t, action_ids,
+                       domain_id, key, *, maskgit_steps: int,
+                       temperature: float, unmask_mode: str):
+    """MaskGIT-refine frame t by full-stack recompute (the reference's own
+    algorithm, st_mask_git.py:382-453). Sampling/re-masking and the RNG
+    split structure match _maskgit_refine exactly, so with the same key the
+    cached and full paths produce identical tokens (when the model supports
+    caching at all)."""
+    cfg = model.config
+    B, T, S = cur_TS.shape
+    nv, fv = cfg.num_factored_vocabs, cfg.factored_vocab_size
+    ns = jnp.asarray(maskgit_mask_counts(maskgit_steps, S), jnp.int32)
+    unmasked0 = jax.lax.dynamic_slice_in_dim(
+        cur_TS, t, 1, axis=1)[:, 0] != model.mask_token_id
+
+    def step_body(carry, xs):
+        cur, unmasked = carry
+        n, key = xs
+        logits_full, _ = model.apply(params, cur, action_ids, domain_id,
+                                     method=STMaskGIT.compute_logits)
+        lt = jax.lax.dynamic_slice_in_dim(logits_full, t, 1, axis=2)
+        lt = lt.reshape(B, nv, fv, S).transpose(0, 3, 1, 2)  # (B, S, nv, fv)
+        k_samp, k_conf = jax.random.split(key)
+        samples, confidence = _sample_factored(lt, k_samp, temperature, fv)
+        if unmask_mode == "greedy":
+            conf = confidence
+        elif unmask_mode == "random":
+            conf = jax.random.uniform(k_conf, confidence.shape)
+        else:
+            raise NotImplementedError(unmask_mode)
+        conf = jnp.where(unmasked, jnp.inf, conf)
+        lowest = _mask_lowest(conf, n)
+        prev_unmasked = unmasked
+        unmasked = jnp.where(n > 0, unmasked | ~lowest, jnp.ones_like(unmasked))
+        frame_prev = jax.lax.dynamic_slice_in_dim(cur, t, 1, axis=1)[:, 0]
+        samples = jnp.where(lowest, model.mask_token_id, samples)
+        samples = jnp.where(prev_unmasked, frame_prev, samples)
+        cur = jax.lax.dynamic_update_slice_in_dim(cur, samples[:, None], t, axis=1)
+        return (cur, unmasked), None
+
+    keys = jax.random.split(key, maskgit_steps)
+    (cur_TS, _), _ = jax.lax.scan(step_body, (cur_TS, unmasked0), (ns, keys))
+    return cur_TS
+
+
+def generate_tokens_full(model: STMaskGIT, params, prompt_TS,
+                         num_prompt_frames: int, action_ids, domain_id, key,
+                         *, maskgit_steps: int = 2, temperature: float = 0.0,
+                         unmask_mode: str = "random"):
+    """Full-recompute rollout: (T - prompt) * maskgit_steps full-stack
+    forwards, exactly the reference algorithm (hma/generate.py:157-172).
+
+    This is the rollout path for `cross_attention_compat="reference"`
+    models, whose action injection mixes timesteps and therefore cannot be
+    decoded per-frame against a KV cache (see GenieConfig). For cacheable
+    models it returns the same tokens as `generate_tokens` under the same
+    key (identical sampling + RNG structure), just slower.
+    """
+    B, T, S = prompt_TS.shape
+    out = jnp.where((jnp.arange(T) < num_prompt_frames)[None, :, None],
+                    prompt_TS, model.mask_token_id)
+
+    def frame_body(out, xs):
+        t, key = xs
+        out = _refine_frame_full(model, params, out, t, action_ids, domain_id,
+                                 key, maskgit_steps=maskgit_steps,
+                                 temperature=temperature,
+                                 unmask_mode=unmask_mode)
+        return out, None
+
+    ts = jnp.arange(num_prompt_frames, T)
+    keys = jax.random.split(key, T - num_prompt_frames)
+    out, _ = jax.lax.scan(frame_body, out, (ts, keys))
+    return out
+
+
 def make_generator(model: STMaskGIT, *, num_prompt_frames: int,
                    maskgit_steps: int = 2, temperature: float = 0.0,
                    unmask_mode: str = "random", return_logits: bool = False):

@@ -86,6 +86,25 @@ def _import_trunk(sd, config) -> dict:
                     sd, pref + ".action_projectors.{}.linear_out", domains),
             }
             layer["action_projector"] = mod
+        elif domains and "cross_attention" in config.action_network:
+            # per-domain BasicCrossAttention (st_transformer.py:103) ->
+            # stacked DomainCrossAttention; its qk-LN is always present
+            # (BasicCrossAttention defaults qk_norm=True regardless of
+            # the trunk config, attention.py:73,93)
+            ap = pref + ".action_projectors.{}"
+            proj = {
+                "to_q": _stack_domain_linears(sd, ap + ".to_q", domains),
+                "to_k": _stack_domain_linears(sd, ap + ".to_k", domains),
+                "to_v": _stack_domain_linears(sd, ap + ".to_v", domains),
+                "proj": _stack_domain_linears(sd, ap + ".proj", domains),
+                "qk_ln_scale": np.stack([
+                    np.asarray(sd[ap.format(d) + ".norm.weight"]).astype(np.float32)
+                    for d in domains]),
+                "qk_ln_bias": np.stack([
+                    np.asarray(sd[ap.format(d) + ".norm.bias"]).astype(np.float32)
+                    for d in domains]),
+            }
+            layer["action_projector"] = proj
         dec[f"layers_{i}"] = layer
     P["decoder"] = dec
 

@@ -14,16 +14,14 @@ export its state dict, import it through
   - greedy `maskgit_generate` token ids match EXACTLY against our
     KV-cached rollout (st_mask_git.py:337-467).
 
-Covered axes: qk_norm on/off, use_mup on/off, action_network
-"concat+modulate" and "mlp", jointly_predict_actions on/off, both
-domains of a 2-domain setup, and the no-action path.
-
-Not covered: action_network="cross_attention" — the reference's
-BasicCrossAttention broadcasts (B*S, T, H, D) queries against (B, T, D)
-keys through a shape quirk that mixes the head axis into the attention
-(attention.py:124-131); hma_tpu implements standard cross-attention
-instead (models/action_stems.py:178), a deliberate deviation documented
-there, so elementwise parity is not expected for that mode.
+Covered axes: qk_norm on/off, use_mup on/off, all three action networks
+("concat+modulate", "mlp", and "cross_attention" via
+cross_attention_compat="reference" — the quirk-exact emulation of the
+reference's head-mixing BasicCrossAttention, attention.py:111-132),
+jointly_predict_actions on/off, both domains of a 2-domain setup, and
+the no-action path. The cross_attention rollout parity uses the
+full-recompute path (rollout.maskgit.generate_tokens_full) because the
+reference quirk mixes timesteps and cannot be KV-cached.
 """
 
 from __future__ import annotations
@@ -70,7 +68,9 @@ def _build_pair(seed=0, **overrides):
 
     ref = load_reference_hma()
     kw = dict(BASE, **overrides)
-    tcfg = ref.GenieConfig(**kw)
+    # hma_tpu-only fields the reference config doesn't know
+    tkw = {k: v for k, v in kw.items() if k != "cross_attention_compat"}
+    tcfg = ref.GenieConfig(**tkw)
     torch.manual_seed(seed)
     tmodel = ref.STMaskGIT(tcfg)
     if tcfg.use_mup:
@@ -135,10 +135,16 @@ def _flax_logits(jmodel, params, jcfg, tokens, actions_padded, domain,
     (True, False, "concat+modulate", 0),    # qk-LN path
     (False, True, "concat+modulate", 0),    # muP readout fold
     (False, False, "mlp", 0),               # additive injection, no concat
+    (False, False, "cross_attention", 0),   # quirk-exact head-mix emulation
+    (False, False, "cross_attention", 1),   # mispairing across domains
+    (True, False, "cross_attention", 0),    # with trunk qk-LN too
 ])
 def test_compute_logits_parity(qk_norm, use_mup, action_network, domain):
+    compat = ({"cross_attention_compat": "reference"}
+              if action_network == "cross_attention" else {})
     tmodel, jmodel, params, jcfg = _build_pair(
-        qk_norm=qk_norm, use_mup=use_mup, action_network=action_network)
+        qk_norm=qk_norm, use_mup=use_mup, action_network=action_network,
+        **compat)
     tokens, _, actions, actions_padded = _inputs(jcfg, domain=domain)
     tl, _ = _torch_logits(tmodel, tokens, actions, jcfg.action_domains[domain])
     jl, _ = _flax_logits(jmodel, params, jcfg, tokens, actions_padded, domain)
@@ -242,3 +248,60 @@ def test_maskgit_generate_greedy_token_parity(qk_norm):
                                       jcfg.factored_vocab_size)
     lt = logits_t.numpy().transpose(0, 3, 4, 2, 1)
     np.testing.assert_allclose(lj, lt, atol=2e-4, rtol=1e-4)
+
+
+def test_forward_loss_acc_parity_cross_attention():
+    """Training forward parity for the quirk-exact cross_attention mode."""
+    import torch
+
+    tmodel, jmodel, params, jcfg = _build_pair(
+        action_network="cross_attention", cross_attention_compat="reference")
+    tokens, labels, actions, actions_padded = _inputs(jcfg)
+    B = tokens.shape[0]
+
+    with torch.no_grad():
+        out = tmodel.forward(
+            torch.from_numpy(tokens.reshape(B, -1)),
+            torch.from_numpy(labels.reshape(B, -1)),
+            action_ids=torch.from_numpy(actions), domain=["alpha"])
+    jout = jmodel.apply(params, jnp.asarray(tokens, jnp.int32),
+                        jnp.asarray(labels, jnp.int32),
+                        jnp.asarray(actions_padded), jnp.asarray(0, jnp.int32))
+    np.testing.assert_allclose(float(jout["loss"]), float(out.loss),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(float(jout["acc"]), float(out.acc),
+                               atol=1e-6)
+
+
+def test_maskgit_generate_greedy_token_parity_cross_attention():
+    """Greedy MaskGIT decode parity for cross_attention_compat="reference".
+
+    The quirk mixes timesteps (the scrambled (H, T, D) -> (T, C) reshape),
+    so the KV-cached path refuses it; the full-recompute rollout
+    (generate_tokens_full, the reference's own algorithm) must match the
+    torch maskgit_generate token-for-token."""
+    import torch
+
+    tmodel, jmodel, params, jcfg = _build_pair(
+        action_network="cross_attention", cross_attention_compat="reference")
+    tokens, _, actions, actions_padded = _inputs(jcfg, mask_frac=0.0)
+    B, T, S = tokens.shape
+    out_t, steps = 2, 3
+
+    prompt = tokens.copy()
+    prompt[:, out_t:] = jcfg.mask_token_id
+    with torch.no_grad():
+        samples_t, _, _ = tmodel.maskgit_generate(
+            torch.from_numpy(prompt.reshape(B, T, jcfg.h, jcfg.w)).clone(),
+            out_t=out_t, maskgit_steps=steps, temperature=0.0,
+            unmask_mode="greedy", action_ids=torch.from_numpy(actions),
+            domain=["alpha"])
+
+    cur = rollout._refine_frame_full(
+        jmodel, params, jnp.asarray(prompt, jnp.int32),
+        jnp.asarray(out_t, jnp.int32), jnp.asarray(actions_padded),
+        jnp.asarray(0, jnp.int32), jax.random.PRNGKey(0),
+        maskgit_steps=steps, temperature=0.0, unmask_mode="greedy")
+    np.testing.assert_array_equal(
+        np.asarray(cur[:, out_t]).reshape(B, jcfg.h, jcfg.w),
+        samples_t.numpy())

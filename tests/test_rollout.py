@@ -12,6 +12,7 @@ from hma_tpu.rollout.maskgit import (
     _mask_lowest,
     _sample_factored,
     generate_tokens,
+    generate_tokens_full,
     teacher_forced_logits,
 )
 
@@ -83,6 +84,23 @@ def test_cached_rollout_matches_naive_greedy():
     # prompt frames preserved
     np.testing.assert_array_equal(np.asarray(out_fast[:, :2]), np.asarray(tokens[:, :2]))
     assert int(out_fast.max()) < cfg.image_vocab_size
+
+
+def test_full_recompute_rollout_matches_cached():
+    """generate_tokens_full (the cross_attention_compat rollout path) must
+    equal the cached rollout token-for-token under the same key — its
+    sampling and RNG-split structure deliberately mirror _maskgit_refine.
+    Covered in both unmask modes so the random-confidence draws align too."""
+    cfg, model, params, tokens, actions, dom = setup_model()
+    for mode in ("greedy", "random"):
+        key = jax.random.PRNGKey(11)
+        fast = generate_tokens(model, params, tokens, 2, actions, dom, key,
+                               maskgit_steps=3, temperature=0.0,
+                               unmask_mode=mode)
+        full = generate_tokens_full(model, params, tokens, 2, actions, dom,
+                                    key, maskgit_steps=3, temperature=0.0,
+                                    unmask_mode=mode)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(full))
 
 
 def test_teacher_forced_logits_shapes():
