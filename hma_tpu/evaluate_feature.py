@@ -153,13 +153,17 @@ def main(argv=None):
         # reduced inside jit -> replicated global-batch mean; frames the
         # model actually predicted (teacher-forced: 1..T-1, AR: prompt..T-1)
         t0 = 1 if args.eval_mode == "teacher_forced" else args.num_prompt_frames
-        mse = jnp.mean((out[:, t0:] - lat[:, t0:]) ** 2)
-        return out, mse
+        err = (out[:, t0:] - lat[:, t0:]) ** 2
+        # per-predicted-frame breakdown, reduced inside jit (the reference
+        # logs per-step losses, evaluate_diffusion.py:262-306)
+        mse_frames = jnp.mean(err, axis=(0, 2, 3, 4))
+        return out, jnp.mean(err), mse_frames
 
     logger = MetricLogger(args.output_dir, project="video_val",
                           config=vars(args),
                           use_wandb=args.use_wandb and dist.is_primary())
     metrics = {k: AvgMetric() for k in ["latent_mse", "gen_time"]}
+    frame_sum, frame_n = None, 0
     key = jax.random.PRNGKey(args.seed)
     h = w = config.h
     C = config.vae_embed_dim
@@ -192,8 +196,12 @@ def main(argv=None):
             key, k_b = jax.random.split(key)
             lat, actions = load_global(n_done, B)
             t0 = time.time()
-            out, mse = gen_jit(params, lat, actions, domain_id, k_b)
+            out, mse, mse_frames = gen_jit(params, lat, actions, domain_id, k_b)
             mse = float(mse)
+            mse_frames = np.asarray(mse_frames, np.float64)
+            frame_sum = (mse_frames * B if frame_sum is None
+                         else frame_sum + mse_frames * B)
+            frame_n += B
             n_pred = (config.T - 1 if args.eval_mode == "teacher_forced"
                       else config.T - args.num_prompt_frames)
             gen_time = (time.time() - t0) / max(n_pred, 1)
@@ -203,6 +211,8 @@ def main(argv=None):
 
     result = {k: m.mean() for k, m in metrics.items() if m.count > 0}
     result["num_examples"] = n_done
+    if frame_n:
+        result["latent_mse_per_frame"] = (frame_sum / frame_n).tolist()
     # FID/FVD over decoded pixels (reference: evaluate_diffusion.py:368-375).
     # Without an SVD-VAE pixel decoder (weights not bundled), the latent
     # clips themselves are embedded — still a distribution distance, and
@@ -213,7 +223,7 @@ def main(argv=None):
             for i in range(0, total, B_full):
                 B2 = min(B_full, total - i)
                 lat, acts = load_global(i, B2)
-                out, _ = gen_jit(params, lat, acts, domain_id,
+                out, _, _ = gen_jit(params, lat, acts, domain_id,
                                  jax.random.PRNGKey(100 + i))
                 preds.append(local_rows(out))
                 gts.append(local_rows(lat))

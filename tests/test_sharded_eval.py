@@ -119,19 +119,46 @@ def continuous_ckpt(tmp_path_factory):
     return tmp_path, data, domain
 
 
-@pytest.mark.parametrize("mode", ["teacher_forced", "autoregressive"])
-def test_evaluate_feature_sharded_runs(continuous_ckpt, mode):
-    tmp_path, data, domain = continuous_ckpt
-    out = evalfeat_mod.main([
+def _run_eval_feature(tmp_path, data, domain, mode, tag, force_single):
+    import unittest.mock as mock
+
+    argv = [
         "--checkpoint_dir", str(tmp_path / "run"),
         "--val_data_dir", str(data / f"{domain}_vae_max1000000_val"),
-        "--output_dir", str(tmp_path / f"evalf_{mode}"),
+        "--output_dir", str(tmp_path / f"evalf_{mode}_{tag}"),
         "--batch_size", "8", "--max_examples", "8",
         "--maskgit_steps", "2", "--num_prompt_frames", "2",
         "--eval_mode", mode,
-    ])
-    assert np.isfinite(out["latent_mse"])
-    assert out["num_examples"] == 8
+    ]
+    if force_single:
+        with mock.patch.object(evalfeat_mod, "setup_eval_mesh",
+                               lambda **kw: make_mesh(n_devices=1)):
+            return evalfeat_mod.main(argv)
+    return evalfeat_mod.main(argv)
+
+
+@pytest.mark.parametrize("mode", ["teacher_forced", "autoregressive"])
+def test_evaluate_feature_sharded_matches_single_device(continuous_ckpt, mode):
+    """Sharded (8-device dp mesh) continuous eval must equal the
+    single-device run to fp tolerance — mean AND per-frame latent MSE, in
+    both teacher-forced and autoregressive modes. Same seeds, same
+    checkpoint; only the mesh layout differs, so any sharding bug in the
+    diffusion sampling path shows up as a numeric diff (reference eval
+    runs under multi-GPU Accelerate, hma/evaluate_diffusion.py:216-412)."""
+    tmp_path, data, domain = continuous_ckpt
+    multi = _run_eval_feature(tmp_path, data, domain, mode, "multi",
+                              force_single=False)
+    single = _run_eval_feature(tmp_path, data, domain, mode, "single",
+                               force_single=True)
+    assert multi["num_examples"] == single["num_examples"] == 8
+    assert np.isfinite(multi["latent_mse"])
+    np.testing.assert_allclose(multi["latent_mse"], single["latent_mse"],
+                               rtol=1e-5, err_msg="latent_mse")
+    n_pred = 3 if mode == "teacher_forced" else 2  # T=4, prompt=2
+    assert len(multi["latent_mse_per_frame"]) == n_pred
+    np.testing.assert_allclose(multi["latent_mse_per_frame"],
+                               single["latent_mse_per_frame"], rtol=1e-5,
+                               err_msg="latent_mse_per_frame")
 
 
 def test_generate_use_feature_and_visualize(continuous_ckpt, tmp_path,
