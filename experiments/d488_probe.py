@@ -37,7 +37,8 @@ def main():
     from __graft_entry__ import _flagship_config
     from hma_tpu.config import GenieConfig
     from hma_tpu.models.st_mask_git import STMaskGIT
-    from hma_tpu.train.step import (TrainState, make_optimizer,
+    from hma_tpu.train.step import (TrainState, domain_stacked_mask,
+                                    make_domain_sliced_optimizer,
                                     make_train_step)
 
     B = 8
@@ -68,7 +69,32 @@ def main():
     batch = {"input_ids": jnp.asarray(inp), "labels": tokens,
              "action_ids": actions, "domain_id": domain_id}
 
-    tx = make_optimizer(1e-4)
+    # exact bench.py optimizer: domain-sliced AdamW (Adam touches only the
+    # active domain's slice of the stacked tables) so the d488 point is
+    # apples-to-apples with the d256 flagship number
+    import copy
+
+    alt = copy.deepcopy(cfg)
+    alt.action_domains = list(cfg.action_domains) + ["__probe__"]
+    alt.d_actions = list(cfg.d_actions) + [cfg.d_actions[-1]]
+    alt.action_stats = list(cfg.action_stats) + [cfg.action_stats[-1]]
+    alt.__post_init__()
+    other = jax.eval_shape(
+        STMaskGIT(alt).init, {"params": jax.random.PRNGKey(0)},
+        tokens, tokens, actions, domain_id)
+    stacked_mask = domain_stacked_mask(params, other)
+    tx = make_domain_sliced_optimizer(
+        1e-4, params_template=params, stacked_mask=stacked_mask,
+        num_domains=cfg.num_domains)
+    # FLOP-count conventions: `n_params` counts every domain's stacked
+    # tables (bench.py's convention); `n_params_active` counts trunk +
+    # one active domain's slice — the cross-width-comparable number,
+    # since the inactive-domain share differs between the 40-domain d256
+    # bench config and this 8-domain probe.
+    n_active = sum(
+        leaf.size // cfg.num_domains if st else leaf.size
+        for leaf, st in zip(jax.tree_util.tree_leaves(params),
+                            jax.tree_util.tree_leaves(stacked_mask)))
     step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
     state = TrainState(params, tx.init(params), jnp.asarray(0))
     params = None
@@ -92,8 +118,13 @@ def main():
         "s_per_step": round(dt, 4),
         "params_M": round(n_params / 1e6, 1),
         "tokens_per_sec": round(tokens_per_step / dt),
+        "params_active_M": round(n_active / 1e6, 1),
         "model_tflops_per_sec": round(
             6 * n_params * tokens_per_step / dt / 1e12, 1),
+        "model_tflops_per_sec_active": round(
+            6 * n_active * tokens_per_step / dt / 1e12, 1),
+        "flop_convention": "6*N*tokens; N=all-domain stacks (legacy) and "
+                           "N_active=trunk+one domain slice",
         "batch": B,
         "num_domains": 8,
         "device": str(jax.devices()[0]),
