@@ -160,6 +160,45 @@ class SelfAttention(nn.Module):
         out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
         return self.proj(out.reshape(B, N, C))
 
+    def temporal_resident(self, x_BTSC: jax.Array) -> jax.Array:
+        """Causal temporal attention with the residual stream kept in
+        (B, T, S, C) layout — no (B,T,S,C)<->(B,S,T,C) transpose pair.
+
+        The Pallas site-on-lanes kernel's internal layout is (H, T, D, N)
+        with N = B*S on lanes; this path produces that layout directly
+        from the per-head qkv tensors (one 5-D transpose each, replacing
+        the residual transpose + wrapper transpose of the default path).
+        Falls back to the XLA path (via an explicit regroup) off-TPU.
+        """
+        B, T, S, C = x_BTSC.shape
+        H, D = self.num_heads, self.head_dim
+        qkv = self.qkv(x_BTSC).reshape(B, T, S, 3, H, D)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        if self.qk_norm:
+            q = self.norm(q.astype(jnp.float32)).astype(self.dtype)
+            k = self.norm(k.astype(jnp.float32)).astype(self.dtype)
+        q = q * jnp.asarray(self.scale, dtype=self.dtype)
+
+        if _use_fused((B * S, T, H, D), True):
+            from hma_tpu.ops.temporal_attention import (
+                fused_temporal_attention_kl)
+
+            def to_kl(u):  # (B,T,S,H,D) -> (H,T,D,B*S)
+                return u.transpose(3, 1, 4, 0, 2).reshape(H, T, D, B * S)
+
+            out = fused_temporal_attention_kl(to_kl(q), to_kl(k), to_kl(v))
+            out = (out.reshape(H, T, D, B, S)
+                      .transpose(3, 1, 4, 0, 2).reshape(B, T, S, C))
+        else:
+            def to_n(u):  # (B,T,S,H,D) -> (B*S, T, H, D)
+                return u.transpose(0, 2, 1, 3, 4).reshape(B * S, T, H, D)
+
+            out = _attend(to_n(q), to_n(k), to_n(v), causal=True,
+                          dtype=self.dtype)
+            out = (out.reshape(B, S, T, H * D).transpose(0, 2, 1, 3))
+        out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
+        return self.proj(out)
+
     def decode_step(self, x_t: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                     t: jax.Array):
         """Causal attention for one timestep against a read-only KV cache.

@@ -58,6 +58,7 @@ class STMAR(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False  # checkpoint each STBlock (training memory)
     remat_policy: str = "full"  # "full" | "dots" (see STTransformerDecoder)
+    temporal_layout: str = "transpose"  # "transpose" | "resident" (STBlock)
 
     def setup(self):
         cfg = self.config
@@ -74,6 +75,7 @@ class STMAR(nn.Module):
             dtype=self.dtype, remat=self.remat,
             cross_attention_compat=getattr(cfg, "cross_attention_compat",
                                            "fixed"),
+            temporal_layout=self.temporal_layout,
             remat_policy=self.remat_policy, name="decoder")
         self.pos_embed_TSC = self.param(
             "pos_embed_TSC", nn.initializers.zeros,

@@ -75,6 +75,12 @@ class STBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     # "fixed" | "reference": see GenieConfig.cross_attention_compat
     cross_attention_compat: str = "fixed"
+    # "transpose" (default): classic (B,T,S,C)<->(B,S,T,C) residual-stream
+    # transposes around the temporal half. "resident": keep (B,T,S,C)
+    # resident and feed the temporal kernel its internal layout directly
+    # (SelfAttention.temporal_resident) — measured on v5e in
+    # experiments/layout_probe.py.
+    temporal_layout: str = "transpose"
 
     def setup(self):
         attn_kwargs = dict(num_heads=self.num_heads, d_model=self.d_model,
@@ -128,6 +134,18 @@ class STBlock(nn.Module):
             return x_BSTC + self.action_projector(x_BSTC, action_emb[:, None, :T], domain_id)
         return x_BSTC
 
+    def _inject_btsc(self, x_BTSC: jax.Array, action_emb: jax.Array,
+                     domain_id: jax.Array) -> jax.Array:
+        """Action injection without leaving the (B, T, S, C) layout."""
+        T = x_BTSC.shape[1]
+        if "mlp" in self.action_processing:
+            return x_BTSC + action_emb[:, :T, None]
+        if "modulate" in self.action_processing:
+            return x_BTSC + self.action_projector(
+                x_BTSC, action_emb[:, :T, None], domain_id)
+        raise NotImplementedError(
+            f"temporal_layout='resident' with {self.action_processing}")
+
     def __call__(self, x_TSC: jax.Array, action_emb: Optional[jax.Array] = None,
                  domain_id: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
@@ -135,6 +153,14 @@ class STBlock(nn.Module):
         B, T, S, C = x_TSC.shape
         x_SC = x_TSC.reshape(B * T, S, C)
         x_SC = x_SC + self.spatial_attn(self._pre1(x_SC))
+
+        if self.temporal_layout == "resident":
+            x = x_SC.reshape(B, T, S, C)
+            if action_emb is not None and self.num_domains > 0:
+                x = self._inject_btsc(x, action_emb, domain_id)
+            x = x + self.temporal_attn.temporal_resident(x)
+            return x + self.mlp(self._pre2(x), deterministic=deterministic)
+
         x_BSTC = x_SC.reshape(B, T, S, C).transpose(0, 2, 1, 3)  # (B, S, T, C)
 
         if action_emb is not None and self.num_domains > 0:
@@ -256,6 +282,7 @@ class STTransformerDecoder(nn.Module):
     num_domains: int = 0
     dtype: jnp.dtype = jnp.bfloat16
     cross_attention_compat: str = "fixed"
+    temporal_layout: str = "transpose"
     remat: bool = False
     # "full": recompute the whole block in the backward (min memory,
     # +1 extra fwd of compute). "dots": save matmul outputs, recompute
@@ -288,6 +315,7 @@ class STTransformerDecoder(nn.Module):
                   action_processing=self.action_processing,
                   num_domains=self.num_domains, dtype=self.dtype,
                   cross_attention_compat=self.cross_attention_compat,
+                  temporal_layout=self.temporal_layout,
                   name=f"layers_{i}")
             for i in range(self.num_layers)
         ]

@@ -258,6 +258,32 @@ def _vjp_bwd(interpret, res, dout):
 fused_temporal_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_temporal_attention_kl(qt, kt, vt, interpret: bool = False):
+    """Kernel-layout entry: q/k/v already (H, T, D, N), q pre-scaled.
+
+    Skips the public wrapper's (N, T, H, D) <-> (H, T, D, N) transposes —
+    used by the resident-layout ST block (models/st_transformer.py),
+    which produces the kernel layout directly from its qkv einsum so the
+    residual stream never changes layout."""
+    out, _ = _sharded_fwd(interpret)(qt, kt, vt)
+    return out
+
+
+def _vjp_fwd_kl(qt, kt, vt, interpret):
+    out, lse = _sharded_fwd(interpret)(qt, kt, vt)
+    return out, (qt, kt, vt, out, lse)
+
+
+def _vjp_bwd_kl(interpret, res, dout):
+    qt, kt, vt, out, lse = res
+    return _sharded_bwd(interpret)(qt, kt, vt, out, lse,
+                                   dout.astype(qt.dtype))
+
+
+fused_temporal_attention_kl.defvjp(_vjp_fwd_kl, _vjp_bwd_kl)
+
+
 def supported(q_shape, head_dim: int) -> bool:
     """Shape gate: tiny T, lane-tileable site count, small heads."""
     N, T, H, D = q_shape

@@ -138,6 +138,38 @@ def test_remat_model_matches_and_trains(model_and_params):
     assert np.isfinite(total) and total > 0
 
 
+def test_resident_layout_matches_transpose(model_and_params):
+    """temporal_layout="resident" (no residual-stream transposes; see
+    STBlock) must be value-identical to the default path, forward and
+    gradient — it reorders layout plumbing, not math."""
+    cfg, model, params, tokens, actions, domain_id = model_and_params
+    from hma_tpu.models.st_mask_git import STMaskGIT as M
+
+    res = M(cfg, dtype=jnp.float32, temporal_layout="resident")
+    l1, a1 = model.apply(params, tokens, actions, domain_id,
+                         method=M.compute_logits)
+    l2, a2 = res.apply(params, tokens, actions, domain_id,
+                       method=M.compute_logits)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                               atol=2e-5, rtol=1e-5)
+
+    inp = tokens.at[:, 1:, :8].set(cfg.image_vocab_size)
+
+    def loss(m):
+        return lambda p: m.apply(
+            p, inp, tokens, actions, domain_id,
+            rngs={"action_drop": jax.random.PRNGKey(0)})["loss"]
+
+    g1 = jax.grad(loss(model))(params)
+    g2 = jax.grad(loss(res))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)
+
+
 def test_window_logits_matches_full_forward(model_and_params):
     """Multi-frame cached window pass equals the full forward."""
     cfg, model, params, tokens, actions, domain_id = model_and_params
