@@ -1,10 +1,28 @@
-"""Headline benchmark: 362M-class discrete HMA rollout throughput on one chip.
+"""Headline benchmark: both HMA flagships on one chip, one JSON line.
 
-Measures KV-cached MaskGIT rollout (this framework's algorithm) and the
-reference algorithm (full T-frame recompute per MaskGIT step, as in
-hma/generate.py:157 + st_mask_git.py:337-467) on the same hardware;
-`vs_baseline` is the speedup of ours over the reference algorithm
-ported 1:1 to this chip. Prints one JSON line.
+Measures, in allocator-clean sections:
+  1. 362M discrete (d256 card, 40 domains) training step — the exact
+     production stack (remat, Pallas attention kernels, domain-sliced
+     AdamW, donation);
+  2. an overfit-one-batch convergence check continuing from (1): the
+     on-chip counterpart of the reference's `--overfit_first_batch`
+     smoke (hma/train_multi.py:238-244) — proof the production numeric
+     stack (bf16 activations + remat + Pallas backwards at real shapes)
+     produces gradients that actually learn, not just finite ones;
+  3. d512 STMAR (the reference's 1B-class headline family,
+     /root/reference/README.md:108-111): training step (8 domains — the
+     40-domain card's fp32 Adam state exceeds one v5e's HBM; that config
+     is fsdp-sharded, see __graft_entry__) and the KV-cached MAR rollout
+     (16 maskgit x 100 denoise, CFG off) with the fused denoise-loop
+     Pallas kernel;
+  4. KV-cached MaskGIT rollout (this framework's algorithm) vs the
+     reference algorithm (full T-frame recompute per MaskGIT step, as in
+     hma/generate.py:157 + st_mask_git.py:337-467) on the same hardware;
+     `vs_baseline` is the speedup of ours over the reference algorithm
+     ported 1:1 to this chip.
+
+Secondary sections (2, 3) are individually guarded: a failure there
+reports an error string in `detail` instead of losing the headline.
 """
 
 from __future__ import annotations
@@ -13,14 +31,16 @@ import json
 import os
 import threading
 import time
+import traceback
 
 import numpy as np
 
-# A healthy full run takes ~16 min (compile-cache cold) on the dev rig.
-# The axon tunnel can hard-hang (observed: an 8h outage where even
-# jnp.ones never returned and no exception was raised), which would
-# stall the whole round-end pipeline — fail loudly instead.
-WATCHDOG_SECS = int(os.environ.get("HMA_TPU_BENCH_TIMEOUT", 2700))
+# A healthy full run takes ~16 min (compile-cache cold) for the discrete
+# sections; the MAR sections add a few more compiles. The axon tunnel can
+# hard-hang (observed: an 8h outage where even jnp.ones never returned
+# and no exception was raised), which would stall the whole round-end
+# pipeline — fail loudly instead.
+WATCHDOG_SECS = int(os.environ.get("HMA_TPU_BENCH_TIMEOUT", 4200))
 
 
 def _watchdog():
@@ -106,9 +126,9 @@ def main():
     other = jax.eval_shape(
         STMaskGIT(alt).init, {"params": jax.random.PRNGKey(0)},
         tokens, tokens, actions, domain_id)
+    stacked_mask = domain_stacked_mask(params, other)
     tx = make_domain_sliced_optimizer(
-        1e-4, params_template=params,
-        stacked_mask=domain_stacked_mask(params, other),
+        1e-4, params_template=params, stacked_mask=stacked_mask,
         num_domains=cfg.num_domains)
     # remat: the 32-layer backward stores ~10 GB of attention logits
     # otherwise — rematerialize blocks instead
@@ -129,11 +149,46 @@ def main():
     train_tokens_per_sec = tokens_per_step / dt_train
     train_tflops = 6 * n_params * tokens_per_step / dt_train / 1e12
 
-    # free the optimizer/train state and executables before inference.
-    # The train section must run with NOTHING else resident (params were
-    # donated into it): holding even the 0.75 GB bf16 inference copy
-    # through training measurably slows the step (86 vs 96 TFLOP/s) —
-    # HBM headroom matters at this model size. Re-init for inference.
+    # ---- overfit-one-batch convergence check on the SAME production
+    # forward/backward (remat + Pallas kernels + sliced AdamW update):
+    # keep stepping on the fixed batch until the masked-token loss
+    # collapses. A wrong-but-finite Pallas backward at these shapes would
+    # stall this descent; speed alone can't catch it. Fresh optimizer
+    # with wd=0 and lr 3e-4: AdamW's decoupled decay otherwise balances
+    # the CE gradient at ~0.25 loss (measured,
+    # experiments/overfit_probe.py — which additionally resamples the
+    # mask per step and checks the rollout reproduces the batch).
+    overfit: dict = {}
+    try:
+        of_tx = make_domain_sliced_optimizer(
+            3e-4, weight_decay=0.0, params_template=s.params,
+            stacked_mask=stacked_mask, num_domains=cfg.num_domains)
+        of_step = jax.jit(make_train_step(train_model, of_tx),
+                          donate_argnums=(0,))
+        del state
+        state = TrainState(s.params, of_tx.init(s.params), jnp.asarray(0))
+        target, cap, check_every = 0.05, 600, 25
+        of_loss, of_acc, steps_done = None, None, 0
+        for i in range(0, cap, check_every):
+            for j in range(check_every):
+                state, _m = of_step(state, batch,
+                                    jax.random.PRNGKey(1000 + i + j))
+            of_loss, of_acc = float(_m["loss"]), float(_m["acc"])
+            steps_done += check_every
+            if of_loss < target and of_acc > 0.99:
+                break
+        overfit = {"final_loss": round(of_loss, 4), "final_acc": round(of_acc, 4),
+                   "steps": steps_done, "lr": 3e-4, "weight_decay": 0.0,
+                   "converged": bool(of_loss < target and of_acc > 0.99)}
+        del of_step, of_tx
+    except Exception:
+        overfit = {"error": traceback.format_exc(limit=1)}
+
+    # free the optimizer/train state and executables before the next
+    # section. The train section must run with NOTHING else resident
+    # (params were donated into it): holding even the 0.75 GB bf16
+    # inference copy through training measurably slows the step (86 vs 96
+    # TFLOP/s) — HBM headroom matters at this model size.
     del state, s, tx, train_step, train_model
     jax.clear_caches()
 
@@ -179,6 +234,16 @@ def main():
     dt_ref = timed(reference_style, params, tokens, actions, domain_id, key, iters=5, warmup=1)
     fps_ref = B * gen_frames / dt_ref
 
+    # ---- d512 STMAR flagship (continuous family): train + rollout.
+    # Last so its buffers can't fragment the headline sections above.
+    del params
+    jax.clear_caches()
+    mar: dict = {}
+    try:
+        mar = _bench_mar(jax, jnp, force, timed)
+    except Exception:
+        mar = {"error": traceback.format_exc(limit=1)}
+
     print(json.dumps({
         "metric": "rollout_frames_per_sec_chip_362M_discrete",
         "value": round(fps, 2),
@@ -194,9 +259,83 @@ def main():
             "per_frame_latency_ms_b1_equiv": round(dt / gen_frames / B * 1000, 2),
             "train_tokens_per_sec": round(train_tokens_per_sec),
             "train_model_tflops_per_sec": round(train_tflops, 1),
+            "overfit": overfit,
+            "mar": mar,
             "device": str(jax.devices()[0]),
         },
     }))
+
+
+def _bench_mar(jax, jnp, force, timed) -> dict:
+    """d512 STMAR: train step (8 domains, fits one chip) + KV-cached MAR
+    rollout (40-domain card, bf16, 16 maskgit x 100 denoise, CFG off)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "experiments"))
+    from mar_probe import _config, _data
+
+    from hma_tpu.models.st_mar import STMAR
+    from hma_tpu.rollout.mar import make_mar_generator
+    from hma_tpu.train.step import TrainState, make_optimizer, make_train_step
+
+    out: dict = {}
+    B = 8
+
+    # train (8 domains: the 40-domain card's fp32 params + Adam moments
+    # exceed one v5e's HBM; that config trains fsdp-sharded — the width
+    # -dependent trunk cost is domain-count-independent)
+    cfg = _config(8)
+    tm = STMAR(cfg, remat=True)
+    lat, mask, actions, dom = _data(cfg, B)
+    params = tm.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "action_drop": jax.random.PRNGKey(2)}, lat, lat, actions, dom, mask)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    tx = make_optimizer(1e-4, params_template=params)
+    step = jax.jit(make_train_step(tm, tx, continuous=True),
+                   donate_argnums=(0,))
+    batch = {"input_ids": lat, "labels": lat, "action_ids": actions,
+             "domain_id": dom, "masked_tokens_indicator": mask}
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    params = None
+    state, _ = step(state, batch, jax.random.PRNGKey(0))  # compile
+    state, _ = step(state, batch, jax.random.PRNGKey(1))  # warm
+    force(state.params["params"]["pos_embed_TSC"])
+    t0 = time.perf_counter()
+    for i in range(10):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    force(state.params["params"]["pos_embed_TSC"])
+    dt = (time.perf_counter() - t0) / 10
+    toks = B * cfg.T * (cfg.h // cfg.patch_size) ** 2
+    out["train_s_per_step"] = round(dt, 4)
+    out["train_params_M_dom8"] = round(n_params / 1e6, 1)
+    out["train_model_tflops_per_sec"] = round(6 * n_params * toks / dt / 1e12, 1)
+    del state, step, tx, tm
+    jax.clear_caches()
+
+    # rollout: the full 40-domain 1B-class card in bf16
+    cfg = _config(40)
+    model = STMAR(cfg)
+    lat, _mask, actions, dom = _data(cfg, B)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "action_drop": jax.random.PRNGKey(2)}, lat, lat, actions, dom,
+        jnp.zeros((B, cfg.T, cfg.h, cfg.h), jnp.int32))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    num_prompt = 2
+    run = make_mar_generator(model, num_prompt_frames=num_prompt,
+                             maskgit_steps=cfg.maskgit_steps)
+    dt = timed(run, params, lat, actions, dom, jax.random.PRNGKey(0),
+               iters=4, warmup=1)
+    gen_frames = cfg.T - num_prompt
+    out["rollout_params_M"] = round(n_params / 1e6, 1)
+    out["rollout_s_per_window"] = round(dt, 4)
+    out["rollout_frames_per_sec"] = round(B * gen_frames / dt, 2)
+    out["rollout_maskgit_steps"] = cfg.maskgit_steps
+    out["rollout_diffusion_steps"] = cfg.num_sampling_steps
+    return out
 
 
 if __name__ == "__main__":

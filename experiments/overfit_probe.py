@@ -1,0 +1,196 @@
+"""Flagship-scale convergence probe: overfit ONE batch on the real chip.
+
+This is the on-chip counterpart of the reference's de-facto convergence
+smoke test (`--overfit_first_batch`, hma/train_multi.py:238-244): run the
+EXACT production stack bench.py times — the 40-domain 362M d256 discrete
+card, remat=True STMaskGIT (bf16 activations where used), both Pallas
+attention kernels, domain-sliced AdamW — on one fixed batch until the
+masked-token loss collapses and teacher-forced accuracy ~ 1.0, then run a
+KV-cached greedy rollout from the overfit weights and measure how many of
+the training frames it reproduces.
+
+Why it exists: every parity/convergence test in tests/ runs tiny fp32
+models on CPU; bench.py runs the production numeric stack but only
+measures speed. A wrong-but-finite gradient through a Pallas backward at
+real scale (bf16, real shapes) would pass both. This probe closes that
+gap: loss -> ~0 through the full production backward is only possible if
+the gradients are right.
+
+Masking is re-sampled per step inside jit with the collator's exact
+cosine schedule (hma_tpu/data/collators.py:24-72, reference hma/data.py:28)
+so the model must memorize the batch under the real training objective,
+not one frozen mask.
+
+Writes a loss curve + summary to experiments/artifacts/overfit_r4.json
+and one JSON line to stdout/ /tmp/overfit_probe.jsonl.
+
+Run: python experiments/overfit_probe.py [--lr 3e-4] [--max-steps 1500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lr", type=float, default=3e-4)
+    # wd=0 by default: with AdamW's decoupled decay on, the CE gradient
+    # at high confidence balances the decay pull and the loss plateaus at
+    # ~0.25 (measured: 1200 steps at wd=0.01/lr=3e-4, acc 1.0 from step
+    # ~200 but loss asymptoting at 0.248). The probe's job is to validate
+    # the gradient path, not optimizer hygiene — memorization must reach
+    # the target without a regularizer fighting it.
+    ap.add_argument("--wd", type=float, default=0.0)
+    ap.add_argument("--max-steps", type=int, default=1500)
+    ap.add_argument("--target-loss", type=float, default=0.05)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--log-every", type=int, default=25)
+    ap.add_argument("--num-domains", type=int, default=40)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts",
+        "overfit_r4.json"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hma_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _flagship_config
+    from hma_tpu.models.st_mask_git import STMaskGIT
+    from hma_tpu.rollout.maskgit import make_generator
+    from hma_tpu.train.step import (TrainState, domain_stacked_mask,
+                                    make_domain_sliced_optimizer,
+                                    make_train_step)
+
+    cfg = _flagship_config(num_domains=args.num_domains)
+    model = STMaskGIT(cfg, remat=True)
+    B = args.batch
+
+    rng = np.random.default_rng(0)
+    labels = jnp.asarray(
+        rng.integers(0, cfg.image_vocab_size, (B, cfg.T, cfg.S)), jnp.int32)
+    actions = jnp.asarray(rng.normal(size=(B, cfg.T, cfg.max_d_action)),
+                          jnp.float32)
+    domain_id = jnp.asarray(0, jnp.int32)
+
+    inp0 = np.asarray(labels).copy()
+    inp0[:, 1:, : cfg.S // 2] = cfg.image_vocab_size
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.asarray(inp0), labels, actions, domain_id)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+    # exact bench.py optimizer construction: domain-sliced AdamW over the
+    # 40-domain stacked tables
+    import copy
+    alt = copy.deepcopy(cfg)
+    alt.action_domains = list(cfg.action_domains) + ["__probe__"]
+    alt.d_actions = list(cfg.d_actions) + [cfg.d_actions[-1]]
+    alt.action_stats = list(cfg.action_stats) + [cfg.action_stats[-1]]
+    alt.__post_init__()
+    other = jax.eval_shape(
+        STMaskGIT(alt).init, {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(inp0), labels, actions, domain_id)
+    tx = make_domain_sliced_optimizer(
+        args.lr, weight_decay=args.wd, params_template=params,
+        stacked_mask=domain_stacked_mask(params, other),
+        num_domains=cfg.num_domains)
+
+    inner_step = make_train_step(model, tx)
+
+    mask_id = cfg.image_vocab_size
+
+    def step_with_collate(state, key):
+        """Resample the mask (collator cosine schedule) + one train step,
+        all inside one jit."""
+        k_mask, k_step = jax.random.split(key)
+        u = jax.random.uniform(k_mask, (B, cfg.T - 1, 1))
+        mask_prob = jnp.cos(u * jnp.pi / 2)
+        r = jax.random.uniform(jax.random.fold_in(k_mask, 1),
+                               (B, cfg.T - 1, cfg.S))
+        mask = r < mask_prob  # (B, T-1, S); frame 0 always unmasked
+        tail = jnp.where(mask, mask_id, labels[:, 1:])
+        inp = jnp.concatenate([labels[:, :1], tail], axis=1)
+        batch = {"input_ids": inp, "labels": labels,
+                 "action_ids": actions, "domain_id": domain_id}
+        return inner_step(state, batch, k_step)
+
+    step = jax.jit(step_with_collate, donate_argnums=(0,))
+
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    params = None
+
+    t0 = time.perf_counter()
+    state, m = step(state, jax.random.PRNGKey(1))
+    compile_s = time.perf_counter() - t0
+    print(f"compiled in {compile_s:.1f}s; params={n_params/1e6:.1f}M",
+          flush=True)
+
+    curve = []
+    final_loss, final_acc, steps_done = None, None, 0
+    t0 = time.perf_counter()
+    for i in range(2, args.max_steps + 1):
+        state, m = step(state, jax.random.PRNGKey(i))
+        if i % args.log_every == 0 or i == args.max_steps:
+            loss = float(m["loss"])
+            acc = float(m["acc"])
+            curve.append({"step": i, "loss": round(loss, 5),
+                          "acc": round(acc, 5)})
+            print(f"step {i}: loss={loss:.4f} acc={acc:.4f} "
+                  f"({time.perf_counter()-t0:.0f}s)", flush=True)
+            final_loss, final_acc, steps_done = loss, acc, i
+            if loss < args.target_loss and acc > 0.99:
+                break
+    train_s = time.perf_counter() - t0
+
+    # --- rollout check: can the overfit model reproduce its training
+    # frames from a 2-frame prompt? Greedy (temperature=0), KV-cached.
+    num_prompt = 2
+    infer_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                                state.params)
+    run = make_generator(model, num_prompt_frames=num_prompt,
+                         maskgit_steps=8)
+    out = run(infer_params, labels, actions, domain_id, jax.random.PRNGKey(0))
+    gen = np.asarray(out[0] if isinstance(out, tuple) else out)
+    match = float((gen[:, num_prompt:] == np.asarray(labels)[:, num_prompt:])
+                  .mean())
+    print(f"rollout token match vs training frames: {match:.4f}", flush=True)
+
+    rec = {
+        "probe": "overfit_one_batch_362M_flagship",
+        "params_M": round(n_params / 1e6, 1),
+        "lr": args.lr,
+        "weight_decay": args.wd,
+        "batch": B,
+        "steps": steps_done,
+        "final_loss": final_loss,
+        "final_acc": final_acc,
+        "rollout_token_match": round(match, 4),
+        "converged": bool(final_loss is not None
+                          and final_loss < args.target_loss
+                          and final_acc > 0.99),
+        "compile_s": round(compile_s, 1),
+        "train_s": round(train_s, 1),
+        "curve": curve,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=1)
+    line = {k: v for k, v in rec.items() if k != "curve"}
+    print(json.dumps(line), flush=True)
+    with open("/tmp/overfit_probe.jsonl", "a") as f:
+        f.write(json.dumps(line) + "\n")
+
+
+if __name__ == "__main__":
+    main()
