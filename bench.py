@@ -153,13 +153,19 @@ def main():
     # forward/backward (remat + Pallas kernels + sliced AdamW update):
     # keep stepping on the fixed batch until the masked-token loss
     # collapses. A wrong-but-finite Pallas backward at these shapes would
-    # stall this descent; speed alone can't catch it. Fresh optimizer
-    # with wd=0 and lr 3e-4: AdamW's decoupled decay otherwise balances
-    # the CE gradient at ~0.25 loss (measured,
-    # experiments/overfit_probe.py — which additionally resamples the
-    # mask per step and checks the rollout reproduces the batch).
+    # stall this descent; speed alone can't catch it. The loss is
+    # label-smoothed (eps=0.01), so a perfectly memorized batch floors at
+    # the smoothing entropy (~0.2363 for the flagship card) — convergence
+    # is judged on the EXCESS over that analytic floor. wd=0 so no
+    # regularizer fights memorization. experiments/overfit_probe.py is
+    # the standalone version (adds per-step mask resampling + a rollout
+    # -reproduces-the-batch check).
     overfit: dict = {}
     try:
+        from hma_tpu.models.st_mask_git import smoothed_ce_floor
+
+        floor = smoothed_ce_floor(cfg.num_factored_vocabs,
+                                  cfg.factored_vocab_size)
         of_tx = make_domain_sliced_optimizer(
             3e-4, weight_decay=0.0, params_template=s.params,
             stacked_mask=stacked_mask, num_domains=cfg.num_domains)
@@ -175,11 +181,13 @@ def main():
                                     jax.random.PRNGKey(1000 + i + j))
             of_loss, of_acc = float(_m["loss"]), float(_m["acc"])
             steps_done += check_every
-            if of_loss < target and of_acc > 0.99:
+            if of_loss - floor < target and of_acc > 0.99:
                 break
         overfit = {"final_loss": round(of_loss, 4), "final_acc": round(of_acc, 4),
+                   "smoothing_floor": round(floor, 4),
+                   "excess_loss": round(of_loss - floor, 4),
                    "steps": steps_done, "lr": 3e-4, "weight_decay": 0.0,
-                   "converged": bool(of_loss < target and of_acc > 0.99)}
+                   "converged": bool(of_loss - floor < target and of_acc > 0.99)}
         del of_step, of_tx
     except Exception:
         overfit = {"error": traceback.format_exc(limit=1)}

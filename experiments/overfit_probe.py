@@ -43,14 +43,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--lr", type=float, default=3e-4)
-    # wd=0 by default: with AdamW's decoupled decay on, the CE gradient
-    # at high confidence balances the decay pull and the loss plateaus at
-    # ~0.25 (measured: 1200 steps at wd=0.01/lr=3e-4, acc 1.0 from step
-    # ~200 but loss asymptoting at 0.248). The probe's job is to validate
-    # the gradient path, not optimizer hygiene — memorization must reach
-    # the target without a regularizer fighting it.
+    # wd=0 so no regularizer fights memorization (measured: wd=0.01
+    # plateaus ~0.002 higher at 1200 steps; same shape otherwise).
     ap.add_argument("--wd", type=float, default=0.0)
     ap.add_argument("--max-steps", type=int, default=1500)
+    # Target is the EXCESS loss over the analytic label-smoothing floor
+    # (~0.2363 for the flagship card): the training CE is smoothed with
+    # eps=0.01, so a perfectly memorized batch never drives the raw loss
+    # below the smoothing entropy. Measured: raw loss 12.36 -> 0.2464
+    # (excess 0.010) in 1500 steps, acc 1.0 from ~step 200.
     ap.add_argument("--target-loss", type=float, default=0.05)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--log-every", type=int, default=25)
@@ -67,7 +68,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from __graft_entry__ import _flagship_config
-    from hma_tpu.models.st_mask_git import STMaskGIT
+    from hma_tpu.models.st_mask_git import STMaskGIT, smoothed_ce_floor
     from hma_tpu.rollout.maskgit import make_generator
     from hma_tpu.train.step import (TrainState, domain_stacked_mask,
                                     make_domain_sliced_optimizer,
@@ -136,6 +137,7 @@ def main():
     print(f"compiled in {compile_s:.1f}s; params={n_params/1e6:.1f}M",
           flush=True)
 
+    floor = smoothed_ce_floor(cfg.num_factored_vocabs, cfg.factored_vocab_size)
     curve = []
     final_loss, final_acc, steps_done = None, None, 0
     t0 = time.perf_counter()
@@ -149,7 +151,7 @@ def main():
             print(f"step {i}: loss={loss:.4f} acc={acc:.4f} "
                   f"({time.perf_counter()-t0:.0f}s)", flush=True)
             final_loss, final_acc, steps_done = loss, acc, i
-            if loss < args.target_loss and acc > 0.99:
+            if loss - floor < args.target_loss and acc > 0.99:
                 break
     train_s = time.perf_counter() - t0
 
@@ -174,10 +176,13 @@ def main():
         "batch": B,
         "steps": steps_done,
         "final_loss": final_loss,
+        "smoothing_floor": round(floor, 4),
+        "excess_loss": (None if final_loss is None
+                        else round(final_loss - floor, 4)),
         "final_acc": final_acc,
         "rollout_token_match": round(match, 4),
         "converged": bool(final_loss is not None
-                          and final_loss < args.target_loss
+                          and final_loss - floor < args.target_loss
                           and final_acc > 0.99),
         "compile_s": round(compile_s, 1),
         "train_s": round(train_s, 1),

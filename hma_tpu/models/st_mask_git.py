@@ -42,6 +42,25 @@ from hma_tpu.models.factorization import (
 from hma_tpu.models.st_transformer import STTransformerDecoder
 
 
+def smoothed_ce_floor(num_factored_vocabs: int, factored_vocab_size: int,
+                      smooth: float = 0.01) -> float:
+    """Analytic minimum of the label-smoothed factored CE.
+
+    `compute_video_loss_and_acc` sums, over `num_factored_vocabs` factors,
+    CE(q, p) with q = (1-eps)*onehot + eps/K uniform. The minimum over p
+    (at p = q) is the entropy of q, which is nonzero: for the flagship
+    card (eps=0.01, K=512, 2 factors) the floor is ~0.2363. Convergence
+    checks must therefore judge the EXCESS loss over this floor — a model
+    at acc 1.0 never drives the raw smoothed CE below it.
+    """
+    eps, K = smooth, factored_vocab_size
+    q_correct = (1.0 - eps) + eps / K
+    q_other = eps / K
+    h = -(q_correct * np.log(q_correct)
+          + (K - 1) * q_other * np.log(q_other))
+    return float(num_factored_vocabs * h)
+
+
 class STMaskGIT(nn.Module):
     """Discrete masked-transformer world model."""
 

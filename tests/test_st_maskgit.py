@@ -66,6 +66,42 @@ def test_loss_runs_and_masked_only(model_and_params):
     assert np.isfinite(float(out2["loss"]))
 
 
+def test_smoothed_ce_floor_matches_loss_implementation(model_and_params):
+    """smoothed_ce_floor is the exact minimum of compute_video_loss_and_acc.
+
+    Feed logits whose softmax equals the smoothed target distribution
+    (the argmin of CE(q, .)): the measured loss must equal the analytic
+    floor, with acc 1.0. This is what lets convergence checks (bench.py
+    detail.overfit, experiments/overfit_probe.py) judge excess loss.
+    """
+    from hma_tpu.models.factorization import factorize_labels
+    from hma_tpu.models.st_mask_git import smoothed_ce_floor
+
+    cfg, model, params, tokens, actions, domain_id = model_and_params
+    B, T, S = tokens.shape
+    h = int(np.sqrt(S))
+    fv, nv = cfg.factored_vocab_size, cfg.num_factored_vocabs
+    targets = tokens.reshape(B, T, h, h)
+    ft = factorize_labels(targets, nv, fv)          # (B, nv, T, h, h)
+    eps = 0.01
+    onehot = jax.nn.one_hot(ft, fv, axis=2)          # (B, nv, fv, T, h, h)
+    q = (1 - eps) * onehot + eps / fv
+    logits = jnp.log(q).reshape(B, nv * fv, T, h, h)
+    mask = jnp.ones((B, T - 1, h, h), bool)
+    loss, acc = STMaskGIT.compute_video_loss_and_acc(
+        model, logits, targets, mask)
+    floor = smoothed_ce_floor(nv, fv, eps)
+    assert float(acc) == 1.0
+    np.testing.assert_allclose(float(loss), floor, rtol=1e-5)
+    # and the floor is a true lower bound: confident one-hot logits land
+    # ABOVE it (over-confidence is penalized by the smoothed term)
+    sharp = jnp.log(onehot * (1 - 1e-7) + 1e-7 / fv).reshape(
+        B, nv * fv, T, h, h)
+    loss2, _ = STMaskGIT.compute_video_loss_and_acc(
+        model, sharp, targets, mask)
+    assert float(loss2) > floor
+
+
 def test_frame_logits_match_full_forward(model_and_params):
     """The KV-cached single-frame path must equal the full forward exactly."""
     cfg, model, params, tokens, actions, domain_id = model_and_params
