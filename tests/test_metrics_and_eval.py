@@ -27,15 +27,37 @@ def test_ssim_properties():
     assert 0 < s < 0.9
 
 
-def test_ssim_matches_skimage_if_available():
-    skimage = pytest.importorskip("skimage")
-    from skimage.metrics import structural_similarity
+def _ssim_bruteforce(a, b, data_range=255.0, win=7, k1=0.01, k2=0.03):
+    """Independent oracle: the exact algorithm skimage documents for
+    structural_similarity(channel_axis=-1) — per-channel sliding 7x7
+    uniform windows over the valid region, sample (ddof=1) covariance —
+    computed by brute-force window loops instead of convolutions.
+    (skimage itself is not in this image; validated against it offline.)"""
+    H, W, C = a.shape
+    NP = win * win
+    C1, C2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+    vals = []
+    for c in range(C):
+        for i in range(H - win + 1):
+            for j in range(W - win + 1):
+                x = a[i:i + win, j:j + win, c].astype(np.float64).ravel()
+                y = b[i:i + win, j:j + win, c].astype(np.float64).ravel()
+                ux, uy = x.mean(), y.mean()
+                vx, vy = x.var(ddof=1), y.var(ddof=1)
+                vxy = ((x - ux) * (y - uy)).sum() / (NP - 1)
+                vals.append(((2 * ux * uy + C1) * (2 * vxy + C2))
+                            / ((ux ** 2 + uy ** 2 + C1) * (vx + vy + C2)))
+    return float(np.mean(vals))
 
+
+def test_ssim_matches_bruteforce_oracle():
     rng = np.random.default_rng(1)
     a = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
     b = np.clip(a + rng.normal(0, 20, a.shape), 0, 255).astype(np.float32)
-    ref = structural_similarity(a, b, channel_axis=-1, data_range=255)
+    ref = _ssim_bruteforce(a, b)
     assert float(ssim(a, b)) == pytest.approx(ref, abs=1e-3)
+    # identical images: oracle and implementation both at exactly 1
+    assert _ssim_bruteforce(a, a) == pytest.approx(1.0, abs=1e-9)
 
 
 def test_teacher_forced_metrics_perfect_logits():
