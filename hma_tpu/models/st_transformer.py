@@ -305,7 +305,15 @@ class STTransformerDecoder(nn.Module):
             elif self.remat_policy == "attn":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out")
-            block = nn.remat(STBlock, static_argnums=(3,), policy=policy)
+            # static_argnums counts `self` as 0 (flax subtracts 1 before
+            # lifting), so `deterministic` — positional arg 4 of
+            # STBlock.__call__ — is index 4, NOT 3. With (3,) the Python
+            # bool reaches jax.remat traced, and nn.Dropout's
+            # `(rate == 0.0) or deterministic` raises
+            # TracerBoolConversionError whenever mlp_drop > 0 (the MAR
+            # cards; the discrete cards' drop=0.0 short-circuits, which
+            # is why only STMAR training hit it).
+            block = nn.remat(STBlock, static_argnums=(4,), policy=policy)
         self.layers = [
             block(num_heads=self.num_heads, d_model=self.d_model,
                   qkv_bias=self.qkv_bias, proj_bias=self.proj_bias,

@@ -59,6 +59,44 @@ def test_forward_losses(setup):
     assert np.isfinite(float(out["action_loss"]))
 
 
+def test_remat_with_dropout_trains():
+    """Regression: nn.remat(STBlock, static_argnums) must mark
+    `deterministic` — positional index 4 of STBlock.__call__, because
+    flax counts the module instance as argument 0 — as static. With the
+    off-by-one index (3,) the Python bool reaches jax.remat traced, and
+    nn.Dropout's `(rate == 0.0) or deterministic` raises
+    TracerBoolConversionError for any card with mlp_drop > 0 under
+    remat=True in train mode — exactly the MAR production training
+    configuration (the discrete cards' drop=0.0 short-circuits, which is
+    why only STMAR training hit it)."""
+    cfg = tiny_config(mlp_drop=0.1)
+    model = STMAR(cfg, dtype=jnp.float32, remat=True)
+    rng = np.random.default_rng(5)
+    B, h = 2, cfg.h
+    lat = jnp.asarray(rng.normal(size=(B, cfg.T, h, h, cfg.vae_embed_dim)),
+                      jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(B, cfg.T, h, h)) < 0.5, jnp.int32)
+    mask = mask.at[:, 0].set(0).at[:, 1, 0, 0].set(1)
+    actions = jnp.asarray(rng.normal(size=(B, cfg.T, cfg.max_d_action)),
+                          jnp.float32)
+    dom = jnp.asarray(0, jnp.int32)
+    rngs = {"diffusion": jax.random.PRNGKey(3),
+            "action_drop": jax.random.PRNGKey(4),
+            "dropout": jax.random.PRNGKey(5)}
+    params = model.init({"params": jax.random.PRNGKey(0), **rngs},
+                        lat, lat, actions, dom, mask)
+
+    def loss_fn(p):
+        return model.apply(p, lat, lat, actions, dom, mask,
+                           deterministic=False, rngs=rngs)["loss"]
+
+    loss, g = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    total = sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
 def test_frame_latents_match_full_forward(setup):
     cfg, model, params, lat, mask, actions, dom = setup
     B, T = lat.shape[:2]
