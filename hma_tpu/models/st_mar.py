@@ -227,6 +227,14 @@ class STMAR(nn.Module):
         rows_z = z.reshape(-1, cfg.d_model)
         rows_t = target.reshape(-1, self.patch_dim).astype(jnp.float32)
         rows_m = patch_mask.reshape(-1)
+        # diffusion_batch_mul: tile every token row so each contributes
+        # several independent (t, noise) diffusion samples per step —
+        # reference st_mar.py:122-125 (torch .repeat tiles along dim 0).
+        mul = cfg.diffusion_batch_mul
+        if mul > 1:
+            rows_z = jnp.tile(rows_z, (mul, 1))
+            rows_t = jnp.tile(rows_t, (mul, 1))
+            rows_m = jnp.tile(rows_m, (mul,))
         loss = self.diffloss.loss(rows_t, rows_z, rows_m)
 
         out = {"loss": loss, "acc": jnp.zeros((), jnp.float32)}
@@ -236,6 +244,10 @@ class STMAR(nn.Module):
             a_rows_z = action_latents.reshape(-1, cfg.d_model)
             a_rows_t = action_ids.reshape(-1, cfg.max_d_action).astype(jnp.float32)
             a_rows_m = action_mask[..., 0, 0].reshape(-1)
+            if mul > 1:  # reference st_mar.py:136-140
+                a_rows_z = jnp.tile(a_rows_z, (mul, 1))
+                a_rows_t = jnp.tile(a_rows_t, (mul, 1))
+                a_rows_m = jnp.tile(a_rows_m, (mul,))
             out["action_loss"] = self.action_diff_loss.loss(
                 a_rows_t, a_rows_z, a_rows_m, domain_id, dim_mask)
             out["actions"] = action_latents

@@ -59,6 +59,40 @@ def test_forward_losses(setup):
     assert np.isfinite(float(out["action_loss"]))
 
 
+def test_diffusion_batch_mul(setup):
+    """diffusion_batch_mul tiles token rows before the diffusion loss
+    (reference st_mar.py:122-140): same param tree, same loss
+    expectation, more (t, noise) samples per step."""
+    cfg, model, params, lat, mask, actions, dom = setup
+    cfg2 = tiny_config(diffusion_batch_mul=4)
+    model2 = STMAR(cfg2, dtype=jnp.float32)
+    params2 = model2.init(
+        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
+         "action_drop": jax.random.PRNGKey(2)}, lat, lat, actions, dom, mask)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params2))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        assert a.shape == b.shape
+    rngs = {"diffusion": jax.random.PRNGKey(3),
+            "action_drop": jax.random.PRNGKey(4)}
+    out1 = model.apply(params, lat, lat, actions, dom, mask, rngs=rngs)
+    out4 = model2.apply(params, lat, lat, actions, dom, mask, rngs=rngs)
+    assert np.isfinite(float(out4["loss"]))
+    assert np.isfinite(float(out4["action_loss"]))
+    # the tiled estimate draws fresh timesteps per tiled row, so it must
+    # actually differ from the single-sample estimate at the same key
+    assert float(out4["loss"]) != float(out1["loss"])
+    # ... but estimates the same expectation: averaging many single-draw
+    # estimates over keys must approach the high-mul estimate
+    many = np.mean([
+        float(model.apply(params, lat, lat, actions, dom, mask,
+                          rngs={"diffusion": jax.random.PRNGKey(100 + i),
+                                "action_drop": jax.random.PRNGKey(4)})["loss"])
+        for i in range(8)])
+    assert abs(many - float(out4["loss"])) < 0.5 * many
+
+
 def test_remat_with_dropout_trains():
     """Regression: nn.remat(STBlock, static_argnums) must mark
     `deterministic` — positional index 4 of STBlock.__call__, because
