@@ -293,8 +293,14 @@ def _bench_mar(jax, jnp, force, timed) -> dict:
     # train (8 domains: the 40-domain card's fp32 params + Adam moments
     # exceed one v5e's HBM; that config trains fsdp-sharded — the width
     # -dependent trunk cost is domain-count-independent)
+    # remat=False: measured 0.2330 vs 0.2429 s/step with remat=True —
+    # at d512/6k-rows the activations are tiny and the step is 97.7%
+    # HBM-bound, so the recompute pass only adds traffic. Sliced AdamW
+    # alone is a wash (0.2338) and pathological combined with no-remat
+    # (0.5444); see PROFILE_r3.md "MAR train-step profile" +
+    # experiments/artifacts/mar_step_r4.jsonl.
     cfg = _config(8)
-    tm = STMAR(cfg, remat=True)
+    tm = STMAR(cfg, remat=False)
     lat, mask, actions, dom = _data(cfg, B)
     params = tm.init(
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),

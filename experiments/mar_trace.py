@@ -6,6 +6,10 @@ The discrete flagship's step has a full roofline writeup
 (experiments/PROFILE_r3.md); this is the continuous family's
 counterpart, used to decide where the 0.245 s/step goes.
 
+This trace (remat=True, dense AdamW) drove the mar_step_probe.py
+bake-off; bench.py has since switched detail.mar to the measured winner
+remat=False (see PROFILE_r3.md "MAR train-step profile").
+
 Run: python experiments/mar_trace.py [trace|parse]
 """
 

@@ -131,6 +131,32 @@ def test_remat_with_dropout_trains():
     assert np.isfinite(total) and total > 0
 
 
+def test_remat_off_matches_remat_on(setup):
+    """remat must be a pure memory/traffic knob, never a numerics one:
+    bench.py's detail.mar runs remat=False (measured 4% faster at d512,
+    where activations are tiny — PROFILE_r3.md "MAR train-step
+    profile") while memory-bound multi-chip training keeps remat=True.
+    Loss and every gradient leaf must agree between the two."""
+    cfg, model, params, lat, mask, actions, dom = setup
+    rm = STMAR(cfg, dtype=jnp.float32, remat=True)
+    rngs = {"diffusion": jax.random.PRNGKey(3),
+            "action_drop": jax.random.PRNGKey(4)}
+
+    def make_loss(m):
+        def f(p):
+            out = m.apply(p, lat, lat, actions, dom, mask, rngs=rngs)
+            return out["loss"] + out["action_loss"]
+        return f
+
+    l0, g0 = jax.value_and_grad(make_loss(model))(params)
+    l1, g1 = jax.value_and_grad(make_loss(rm))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_frame_latents_match_full_forward(setup):
     cfg, model, params, lat, mask, actions, dom = setup
     B, T = lat.shape[:2]
