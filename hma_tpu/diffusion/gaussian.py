@@ -163,14 +163,31 @@ def learned_range_log_variance(sched, t, v, ndim):
 
 
 def _normal_kl(mean1, logvar1, mean2, logvar2):
-    return 0.5 * (-1.0 + logvar2 - logvar1 + jnp.exp(logvar1 - logvar2)
-                  + ((mean1 - mean2) ** 2) * jnp.exp(-logvar2))
+    """KL(N1 || N2) elementwise (reference: diffusion_utils.py:12-25).
+
+    The exp() inputs are clamped at ±80 — fp32 exp overflows to inf just
+    past 88, and an inf here either makes the loss inf (selected branch)
+    or, worse, turns the discarded vb branch's zero cotangent into
+    0*inf = NaN in the backward. At the clamp boundary the KL is ~5e34:
+    astronomically past any reachable variance, loss still explodes
+    visibly, but the gradient stays finite and points back toward sane
+    logvar — training recovers via grad clipping instead of NaN-skipping
+    forever."""
+    return 0.5 * (-1.0 + logvar2 - logvar1
+                  + jnp.exp(jnp.clip(logvar1 - logvar2, -80.0, 80.0))
+                  + ((mean1 - mean2) ** 2)
+                  * jnp.exp(jnp.clip(-logvar2, -80.0, 80.0)))
 
 
 def _discretized_gaussian_log_likelihood(x, means, log_scales):
-    """(reference: diffusion_utils.py:43-64)"""
+    """(reference: diffusion_utils.py:43-64)
+
+    -log_scales is clamped at ±80 before exp (see _normal_kl): past the
+    clamp the CDFs are saturated at 0/1 anyway, so the forward is
+    unchanged, while the backward becomes exactly 0 (the true saturated
+    gradient) instead of pdf(inf)*inf = NaN."""
     centered = x - means
-    inv_stdv = jnp.exp(-log_scales)
+    inv_stdv = jnp.exp(jnp.clip(-log_scales, -80.0, 80.0))
     plus_in = inv_stdv * (centered + 1.0 / 255.0)
     min_in = inv_stdv * (centered - 1.0 / 255.0)
     cdf_plus = jax.scipy.stats.norm.cdf(plus_in)
@@ -221,10 +238,25 @@ def training_losses(net_apply: Callable, sched: DiffusionSchedule,
 
     true_mean = q_posterior_mean(sched, x0, xt, t)
     true_logvar = _extract(sched.posterior_log_variance_clipped, t, x0.ndim)
-    kl = _normal_kl(true_mean, true_logvar, model_mean, model_logvar)
+
+    # Double-where: `vb = where(t==0, nll, kl)` evaluates BOTH branches on
+    # every row, and a row whose learned logvar has drifted far enough
+    # makes the UNSELECTED branch's forward overflow (exp(-logvar) in the
+    # nll for t!=0, exp(logvar1-logvar2) in the kl for t==0). The where
+    # discards the inf in the forward — loss stays finite — but the
+    # backward multiplies the branch's zero cotangent through the inf
+    # intermediate: 0*inf = NaN, poisoning every grad. Feeding each
+    # branch a benign logvar (the finite true_logvar) on the rows where
+    # the other branch is selected is bit-identical in the forward and
+    # kills the NaN path. Observed in the wild: d512 STMAR overfit run
+    # 2026-08-19 (finite loss, NaN grads by step ~50).
+    t_is0 = (t == 0).reshape(t.shape + (1,) * (x0.ndim - t.ndim))
+    kl_logvar = jnp.where(t_is0, true_logvar, model_logvar)
+    kl = _normal_kl(true_mean, true_logvar, model_mean, kl_logvar)
     kl = cmean(kl) / math.log(2.0)
 
-    nll = -_discretized_gaussian_log_likelihood(x0, model_mean, 0.5 * model_logvar)
+    nll_logvar = jnp.where(t_is0, model_logvar, true_logvar)
+    nll = -_discretized_gaussian_log_likelihood(x0, model_mean, 0.5 * nll_logvar)
     nll = cmean(nll) / math.log(2.0)
     vb = jnp.where(t == 0, nll, kl)
 

@@ -271,8 +271,19 @@ def make_domain_sliced_optimizer(
         scale = jnp.where(g_norm < max_grad_norm, 1.0,
                           max_grad_norm / jnp.maximum(g_norm, 1e-20))
 
-        dense_g = jax.tree.map(lambda g: g * scale.astype(g.dtype), dense_g)
-        g_slices = jax.tree.map(lambda g: g * scale.astype(g.dtype), g_slices)
+        # NaN/inf guard, part 2: a finite loss does not imply finite grads
+        # (backward-only overflow). Fold grad finiteness into `ok` and
+        # zero the grads on a skipped step (where, not multiply — NaN*0 is
+        # NaN), so the m/v moment update below only decays instead of
+        # permanently absorbing a NaN. The caller recomputes the combined
+        # ok from the returned g_norm for its skip metric.
+        ok = jnp.logical_and(ok, jnp.isfinite(g_norm))
+        dense_g = jax.tree.map(
+            lambda g: jnp.where(ok, g * scale.astype(g.dtype),
+                                jnp.zeros_like(g)), dense_g)
+        g_slices = jax.tree.map(
+            lambda g: jnp.where(ok, g * scale.astype(g.dtype),
+                                jnp.zeros_like(g)), g_slices)
 
         updates, new_dense = inner.update(dense_g, state.dense, dense_p)
         ok_f = ok.astype(jnp.float32)
@@ -389,26 +400,38 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
     def train_step(state: TrainState, batch, rng):
         grads, metrics = compute_grads(state.params, batch, rng)
-        # NaN guard: skip the update if the loss went non-finite. Zero the
-        # grads (opt_state moments still decay, matching the reference's
-        # dummy backward) and apply updates scaled by `ok` — one fused
-        # multiply-add instead of a separate params-restoring where-pass.
-        ok = jnp.isfinite(metrics["loss"])
-        ok_f = ok.astype(jnp.float32)
-        # where, not multiply: NaN * 0 = NaN would leak through the guard
-        grads = jax.tree.map(
-            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        # NaN guard: skip the update if the loss OR any gradient went
+        # non-finite. Guarding on the loss alone is not enough — a step
+        # whose forward is finite but whose backward overflows (e.g. the
+        # VB term's exp() at large learned-variance logits) would send NaN
+        # grads through clip_by_global_norm (NaN norm → NaN scale → every
+        # update NaN) and poison params + Adam moments permanently. Zero
+        # the grads (opt_state moments still decay, matching the
+        # reference's dummy backward) and apply updates scaled by `ok` —
+        # one fused multiply-add instead of a params-restoring where-pass.
+        ok_loss = jnp.isfinite(metrics["loss"])
         if sliced:
+            # update_and_apply folds isfinite(g_norm) into the guard itself
+            # (its norm covers every leaf that can carry a NaN: dense grads
+            # + the active domain's slices; inactive slices are exactly
+            # zero) and zeroes the grads internally before the moment
+            # update, so neither params nor m/v can be poisoned.
             params, opt_state, g_norm = tx.update_and_apply(
                 grads, state.opt_state, state.params,
-                batch["domain_id"], ok)
-            metrics["grad_norm"] = g_norm
+                batch["domain_id"], ok_loss)
+            ok = jnp.logical_and(ok_loss, jnp.isfinite(g_norm))
         else:
-            metrics["grad_norm"] = optax.global_norm(grads)
+            g_norm = optax.global_norm(grads)
+            ok = jnp.logical_and(ok_loss, jnp.isfinite(g_norm))
+            # where, not multiply: NaN * 0 = NaN would leak through
+            grads = jax.tree.map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            ok_f = ok.astype(jnp.float32)
             params = jax.tree.map(
                 lambda p, u: p + u * ok_f.astype(u.dtype), state.params, updates)
-        metrics["skipped"] = 1.0 - ok_f
+        metrics["grad_norm"] = g_norm
+        metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step

@@ -1,5 +1,6 @@
 """Train-step + sharded multi-device tests on the virtual 8-CPU mesh."""
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -214,3 +215,92 @@ def test_nan_guard_skips_update():
         l0 = jax.tree_util.tree_leaves(state.params)[0]
         l1 = jax.tree_util.tree_leaves(new_state.params)[0]
         np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+
+class _FiniteLossNaNGradModel(nn.Module):
+    """Finite forward, NaN backward: sqrt(u) at u=0 has an infinite
+    derivative, and u = w*0 gives d loss/dw = inf * 0 = NaN while the
+    loss itself is exactly 1.0. This is the real-world failure shape of
+    2026-08-19's d512 STMAR overfit run: the VB term's backward
+    overflowed while the loss stayed finite, and a loss-only NaN guard
+    let one NaN grad poison every param through clip_by_global_norm."""
+
+    @nn.compact
+    def __call__(self, input_ids, labels, action_ids=None, domain_id=None,
+                 deterministic=True):
+        w = self.param("w", lambda k, s: jnp.ones(s, jnp.float32), (4,))
+        loss = jnp.sum(jnp.sqrt(w * 0.0)) + 1.0
+        return {"loss": loss, "acc": jnp.zeros((), jnp.float32)}
+
+
+def test_nan_guard_catches_finite_loss_nan_grads_dense():
+    model = _FiniteLossNaNGradModel()
+    batch = {"input_ids": jnp.zeros((2, 2), jnp.int32),
+             "labels": jnp.zeros((2, 2), jnp.int32),
+             "domain_id": jnp.asarray(0, jnp.int32)}
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                        batch["labels"])
+    # the trap really is finite-loss / NaN-grad
+    grads = jax.grad(lambda p: model.apply(
+        p, batch["input_ids"], batch["labels"])["loss"])(params)
+    assert not np.all(np.isfinite(np.asarray(grads["params"]["w"])))
+
+    tx = make_optimizer(1e-3, params_template=params)
+    step = jax.jit(make_train_step(model, tx))
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert float(metrics["loss"]) == pytest.approx(1.0)
+    assert float(metrics["skipped"]) == 1.0
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["params"]["w"]),
+        np.asarray(state.params["params"]["w"]))
+    for leaf in jax.tree_util.tree_leaves(new_state.opt_state):
+        assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
+
+
+def test_nan_guard_catches_finite_loss_nan_grads_sliced():
+    """Direct update_and_apply: NaN in the active domain's grad slice with
+    ok=True (finite loss) must leave params unchanged and the sliced Adam
+    moments finite — a poisoned moment would propagate NaN into every
+    later step for that domain."""
+    from hma_tpu.train.step import make_domain_sliced_optimizer
+
+    num_domains = 3
+    params = {
+        "table": jnp.ones((num_domains, 4, 4), jnp.float32),
+        "dense": jnp.ones((4, 4), jnp.float32),
+    }
+    stacked_mask = {"table": True, "dense": False}
+    tx = make_domain_sliced_optimizer(
+        1e-3, params_template=params, stacked_mask=stacked_mask,
+        num_domains=num_domains)
+    opt_state = tx.init(params)
+
+    grads = {
+        "table": jnp.zeros((num_domains, 4, 4), jnp.float32)
+        .at[1, 0, 0].set(jnp.nan),
+        "dense": jnp.ones((4, 4), jnp.float32),
+    }
+    new_params, new_state, g_norm = tx.update_and_apply(
+        grads, opt_state, params, jnp.asarray(1, jnp.int32),
+        jnp.asarray(True))
+    assert not np.isfinite(float(g_norm))
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(new_params[k]),
+                                      np.asarray(params[k]))
+    for leaf in jax.tree_util.tree_leaves(new_state):
+        assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
+
+    # and a clean step afterwards still updates normally
+    good = {"table": jnp.zeros_like(grads["table"]).at[1].set(0.1),
+            "dense": jnp.full((4, 4), 0.1, jnp.float32)}
+    p2, s2, gn2 = tx.update_and_apply(
+        good, new_state, new_params, jnp.asarray(1, jnp.int32),
+        jnp.asarray(True))
+    assert np.isfinite(float(gn2))
+    assert not np.array_equal(np.asarray(p2["dense"]),
+                              np.asarray(new_params["dense"]))
+    assert not np.array_equal(np.asarray(p2["table"][1]),
+                              np.asarray(new_params["table"][1]))
+    np.testing.assert_array_equal(np.asarray(p2["table"][0]),
+                                  np.asarray(new_params["table"][0]))
