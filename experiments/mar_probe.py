@@ -117,6 +117,87 @@ def run_train(B=8, num_domains=8):
            "compile_s": round(compile_s, 1)})
 
 
+def run_train1b(B=8):
+    """The FULL 40-domain d512 card (~1.5B params) training on ONE chip —
+    the configuration run_train's docstring calls multi-chip-only under
+    fp32 Adam state. bf16 stochastic-rounded moments (train/lowp.py)
+    halve the optimizer HBM (12 -> 8 B/param of persistent state), which
+    is what makes this fit. Production stack otherwise: domain-sliced
+    AdamW (structural stacked mask, as train/trainer.py builds it),
+    remat=False + donation (the measured-fastest d512 config; see
+    bench.py _bench_mar comments)."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hma_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from hma_tpu.models.st_mar import STMAR
+    from hma_tpu.train.step import (
+        TrainState,
+        domain_stacked_mask,
+        make_domain_sliced_optimizer,
+        make_train_step,
+    )
+
+    cfg = _config(40)
+    model = STMAR(cfg, remat=False)
+    lat, mask, actions, dom = _data(cfg, B)
+    init_rngs = {"params": jax.random.PRNGKey(0),
+                 "diffusion": jax.random.PRNGKey(1),
+                 "action_drop": jax.random.PRNGKey(2)}
+    params = model.init(init_rngs, lat, lat, actions, dom, mask)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+    # structural stacked-leaf mask exactly as the trainer derives it
+    # (eval_shape at num_domains+1 -> zero extra HBM)
+    alt = copy.deepcopy(cfg)
+    alt.action_domains = list(cfg.action_domains) + ["__probe__"]
+    alt.d_actions = list(cfg.d_actions) + [cfg.d_actions[-1]]
+    alt.action_stats = list(cfg.action_stats) + [cfg.action_stats[-1]]
+    alt.__post_init__()
+    other = jax.eval_shape(STMAR(alt, remat=False).init, init_rngs,
+                           lat, lat, actions, dom, mask)
+    tx = make_domain_sliced_optimizer(
+        1e-4, params_template=params,
+        stacked_mask=domain_stacked_mask(params, other),
+        num_domains=cfg.num_domains, moment_dtype=jnp.bfloat16)
+    step = jax.jit(make_train_step(model, tx, continuous=True),
+                   donate_argnums=(0,))
+    batch = {"input_ids": lat, "labels": lat, "action_ids": actions,
+             "domain_id": dom, "masked_tokens_indicator": mask}
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    params = None  # donated
+
+    t0 = time.perf_counter()
+    state, m = step(state, batch, jax.random.PRNGKey(0))
+    _force(state.params["params"]["pos_embed_TSC"])
+    compile_s = time.perf_counter() - t0
+
+    iters = 20
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch, jax.random.PRNGKey(i + 1))
+    losses.append(float(m["loss"]))
+    dt = (time.perf_counter() - t0) / iters
+
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use")
+    toks = B * cfg.T * (cfg.h // cfg.patch_size) ** 2
+    assert all(np.isfinite(l) for l in losses), losses
+    _emit({"variant": f"mar_train1b_b{B}_dom40_bf16mom",
+           "step_s": round(dt, 4),
+           "params_M": round(n_params / 1e6, 1),
+           "tokens_per_sec": round(toks / dt),
+           "model_tflops_per_sec": round(6 * n_params * toks / dt / 1e12, 1),
+           "loss_final": round(losses[-1], 4),
+           "peak_hbm_gib": (round(peak / 2**30, 2) if peak else None),
+           "compile_s": round(compile_s, 1)})
+
+
 def run_rollout(B=8, maskgit_steps=None, sampling_steps=None):
     import jax
     import jax.numpy as jnp
@@ -199,6 +280,8 @@ if __name__ == "__main__":
     which = sys.argv[1:] or ["train", "rollout"]
     if "train" in which:
         run_train()
+    if "train1b" in which:
+        run_train1b()
     if "rollout" in which:
         run_rollout()
     if "trace" in which:

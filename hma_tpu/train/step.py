@@ -103,14 +103,27 @@ def mup_matrix_mask(params, base_shapes=None) -> Any:
 
 
 def _adamw_core(learning_rate, weight_decay, beta1, beta2, eps,
-                params_template, mup_width_mult, mup_base_shapes):
+                params_template, mup_width_mult, mup_base_shapes,
+                moment_dtype=None):
     """The AdamW part of the optimizer, WITHOUT the global-norm clip (so
-    the sliced-domain optimizer can apply one clip over dense+sliced)."""
+    the sliced-domain optimizer can apply one clip over dense+sliced).
+
+    `moment_dtype` (e.g. jnp.bfloat16) stores Adam m/v low-precision with
+    stochastic rounding (train/lowp.py); None keeps the fp32 optax path.
+    """
+
+    def adamw(lr, wd, mask):
+        if moment_dtype is None:
+            return optax.adamw(lr, b1=beta1, b2=beta2, eps=eps,
+                               weight_decay=wd, mask=mask)
+        from hma_tpu.train.lowp import adamw_lowp
+        return adamw_lowp(lr, b1=beta1, b2=beta2, eps=eps, weight_decay=wd,
+                          mask=mask, moment_dtype=moment_dtype)
+
     mask = weight_decay_mask(params_template) if params_template is not None else None
     if (mup_width_mult is None or mup_width_mult == 1.0
             or params_template is None):
-        return optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
-                           weight_decay=weight_decay, mask=mask)
+        return adamw(learning_rate, weight_decay, mask)
 
     mmask = mup_matrix_mask(params_template, mup_base_shapes)
     labels = jax.tree.map(lambda m: "matrix" if m else "other", mmask)
@@ -122,11 +135,8 @@ def _adamw_core(learning_rate, weight_decay, beta1, beta2, eps,
         # matrix partition is all kernels -> decay applies everywhere;
         # "other" gets the decay mask as a callable so it re-derives
         # over the partitioned (MaskedNode-bearing) tree.
-        {"matrix": optax.adamw(matrix_lr, b1=beta1, b2=beta2, eps=eps,
-                               weight_decay=weight_decay * mup_width_mult),
-         "other": optax.adamw(learning_rate, b1=beta1, b2=beta2, eps=eps,
-                              weight_decay=weight_decay,
-                              mask=weight_decay_mask)},
+        {"matrix": adamw(matrix_lr, weight_decay * mup_width_mult, None),
+         "other": adamw(learning_rate, weight_decay, weight_decay_mask)},
         labels)
 
 
@@ -135,17 +145,20 @@ def make_optimizer(learning_rate, weight_decay: float = 0.01,
                    eps: float = 1e-8, max_grad_norm: float = 1.0,
                    params_template=None,
                    mup_width_mult: Optional[float] = None,
-                   mup_base_shapes=None) -> optax.GradientTransformation:
+                   mup_base_shapes=None,
+                   moment_dtype=None) -> optax.GradientTransformation:
     """AdamW with decay masking; with `mup_width_mult` (= d_model /
     base_d_model), matrix-like params take the MuAdamW rule
     (mup/optim.py semantics): lr /= width_mult and weight_decay *=
     width_mult, so the per-step decay lr*wd is width-invariant while the
     Adam update shrinks 1/width. That's what makes one tuned LR transfer
-    across widths."""
+    across widths. `moment_dtype=jnp.bfloat16` stores m/v in bf16 with
+    stochastic rounding (halves optimizer HBM; see train/lowp.py)."""
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         _adamw_core(learning_rate, weight_decay, beta1, beta2, eps,
-                    params_template, mup_width_mult, mup_base_shapes))
+                    params_template, mup_width_mult, mup_base_shapes,
+                    moment_dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -213,16 +226,24 @@ def make_domain_sliced_optimizer(
         eps: float = 1e-8, max_grad_norm: float = 1.0,
         *, params_template, stacked_mask, num_domains: int,
         mup_width_mult: Optional[float] = None,
-        mup_base_shapes=None) -> DomainSlicedOptimizer:
+        mup_base_shapes=None,
+        moment_dtype=None) -> DomainSlicedOptimizer:
     """Build the sliced-domain AdamW. `stacked_mask` comes from
     `domain_stacked_mask`; dense (shared) leaves get the standard
-    `_adamw_core` chain, stacked leaves get the manual sliced update."""
+    `_adamw_core` chain, stacked leaves get the manual sliced update.
+
+    `moment_dtype=jnp.bfloat16` stores m/v (stacked AND dense) in bf16
+    with stochastic rounding on write, fp32 math (train/lowp.py) —
+    halves the resident optimizer state, which is what fits the
+    40-domain d512 1B-class card on a single v5e chip."""
     dense_template = _prune(stacked_mask, params_template, False)
     stacked_template = _prune(stacked_mask, params_template, True)
     dense_base = (None if mup_base_shapes is None
                   else _prune(stacked_mask, mup_base_shapes, False))
     inner = _adamw_core(learning_rate, weight_decay, beta1, beta2, eps,
-                        dense_template, mup_width_mult, dense_base)
+                        dense_template, mup_width_mult, dense_base,
+                        moment_dtype)
+    m_dtype = moment_dtype  # None -> match param dtype (fp32 path)
 
     # Per-stacked-leaf effective lr multiplier / weight decay under muP.
     wd_mask = weight_decay_mask(stacked_template)
@@ -242,10 +263,12 @@ def make_domain_sliced_optimizer(
 
     def init(params) -> SlicedAdamState:
         stacked = _prune(stacked_mask, params, True)
+        zeros = (jnp.zeros_like if m_dtype is None
+                 else (lambda p: jnp.zeros(jnp.shape(p), m_dtype)))
         return SlicedAdamState(
             dense=inner.init(_prune(stacked_mask, params, False)),
-            m=jax.tree.map(jnp.zeros_like, stacked),
-            v=jax.tree.map(jnp.zeros_like, stacked),
+            m=jax.tree.map(zeros, stacked),
+            v=jax.tree.map(zeros, stacked),
             count=jnp.zeros((num_domains,), jnp.int32),
             gcount=jnp.zeros((), jnp.int32))
 
@@ -296,19 +319,36 @@ def make_domain_sliced_optimizer(
         bc1 = 1.0 - beta1 ** c_d.astype(jnp.float32)
         bc2 = 1.0 - beta2 ** c_d.astype(jnp.float32)
 
-        def upd_leaf(p, g_d, m, v, lmul, wd):
-            m_d = beta1 * take(m) + (1.0 - beta1) * g_d
-            v_d = beta2 * take(v) + (1.0 - beta2) * jnp.square(g_d)
+        if m_dtype is not None:
+            from hma_tpu.train.lowp import _leaf_keys, stochastic_round
+            srbase = jax.random.fold_in(jax.random.PRNGKey(0x51AD),
+                                        state.gcount)
+            mkeys = _leaf_keys(jax.random.fold_in(srbase, 0), stacked_p)
+            vkeys = _leaf_keys(jax.random.fold_in(srbase, 1), stacked_p)
+        else:
+            # dummy key tree so upd_leaf's signature is uniform
+            mkeys = jax.tree.map(lambda _: 0, stacked_p)
+            vkeys = mkeys
+
+        def upd_leaf(p, g_d, m, v, lmul, wd, mk, vk):
+            # moments may be stored low-precision: math in fp32
+            # (upcast-on-read), stochastic round on write (train/lowp.py)
+            m_d = beta1 * take(m).astype(jnp.float32) + (1.0 - beta1) * g_d
+            v_d = (beta2 * take(v).astype(jnp.float32)
+                   + (1.0 - beta2) * jnp.square(g_d))
             mhat = m_d / bc1
             vhat = v_d / bc2
             step_d = mhat / (jnp.sqrt(vhat) + eps) + wd * take(p)
             p_d = take(p) - (lr_t * lmul * ok_f) * step_d
             put = lambda full, sl: jax.lax.dynamic_update_index_in_dim(
                 full, sl, d, axis=0)
+            if m_dtype is not None:
+                m_d = stochastic_round(m_d, m_dtype, mk)
+                v_d = stochastic_round(v_d, m_dtype, vk)
             return put(p, p_d), put(m, m_d), put(v, v_d)
 
         out = jax.tree.map(upd_leaf, stacked_p, g_slices, state.m, state.v,
-                           lr_mult, wd_leaf)
+                           lr_mult, wd_leaf, mkeys, vkeys)
         # out is a tree of 3-tuples; transpose into three trees
         outer = jax.tree.structure(stacked_p)
         new_stacked_p = jax.tree.unflatten(

@@ -39,6 +39,7 @@ from hma_tpu.parallel.distributed import (
     make_global_batch,
 )
 from hma_tpu.parallel.mesh import batch_sharding, make_mesh, make_param_shardings
+from hma_tpu.train.lowp import resolve_moment_dtype
 from hma_tpu.train.step import (
     TrainState,
     custom_cosine_schedule,
@@ -113,6 +114,10 @@ class TrainArgs:
     # semantics + ~10x less optimizer HBM traffic; train/step.py
     # DomainSlicedOptimizer). Dense optax AdamW when off.
     domain_sliced_adam: bool = True
+    # Adam moment storage: "float32" (default) or "bfloat16" (stochastic
+    # rounding on write, fp32 math — halves optimizer HBM; train/lowp.py.
+    # bf16 moments are what fit the 40-domain d512 1B card on one v5e).
+    adam_moment_dtype: str = "float32"
 
 
 def build_domain_datasets(args: TrainArgs, config):
@@ -361,12 +366,14 @@ def run_training(args: TrainArgs) -> dict:
             params_template=params,
             stacked_mask=domain_stacked_mask(params, other),
             num_domains=config.num_domains, mup_width_mult=mup_mult,
-            mup_base_shapes=mup_base_shapes)
+            mup_base_shapes=mup_base_shapes,
+            moment_dtype=resolve_moment_dtype(args.adam_moment_dtype))
     else:
         tx = make_optimizer(schedule, args.weight_decay, args.adam_beta_1,
                             args.adam_beta_2, args.adam_eps, args.max_grad_norm,
                             params_template=params, mup_width_mult=mup_mult,
-                            mup_base_shapes=mup_base_shapes)
+                            mup_base_shapes=mup_base_shapes,
+                            moment_dtype=resolve_moment_dtype(args.adam_moment_dtype))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec

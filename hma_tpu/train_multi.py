@@ -63,6 +63,10 @@ def parse_args(argv=None) -> TrainArgs:
                    help="MagVit2 VQ ckpt: pixel PSNR/LPIPS in-training viz.")
     p.add_argument("--lpips_weights", type=str, default=None,
                    help="torch LPIPS(alex) state_dict for the viz metric.")
+    p.add_argument("--adam_moment_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Adam m/v storage dtype. bfloat16 halves optimizer "
+                        "HBM via stochastic-rounded writes (train/lowp.py).")
     ns = p.parse_args(argv)
     return TrainArgs(**vars(ns))
 

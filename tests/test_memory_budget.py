@@ -103,6 +103,23 @@ def test_flagship_mar_fits_v5e8_under_fsdp(flagship_shapes, factors):
         f"{dict(mesh.shape)} — exceeds the 60% HBM budget")
 
 
+def test_flagship_mar_single_chip_with_bf16_moments(flagship_shapes):
+    """bf16 Adam moments (train/lowp.py) are what fit the 40-domain card
+    on ONE chip: fp32 params + fp32 m/v is 12 B/param and exceeds a v5e's
+    HBM (the teeth), while fp32 params + bf16 m/v is 8 B/param and leaves
+    >25% headroom for gradients/activations. The on-chip counterpart
+    (a real train step at this config) is experiments/mar_probe.py
+    train1b; this pins the arithmetic the claim rests on."""
+    cfg, shapes = flagship_shapes
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(shapes))
+    assert n_params * 12 > V5E_HBM_BYTES  # fp32 moments: does NOT fit
+    bf16_state = n_params * (4 + 2 + 2)   # fp32 param + bf16 mu + bf16 nu
+    assert bf16_state < 0.75 * V5E_HBM_BYTES, (
+        f"{bf16_state/2**30:.2f} GiB of param+bf16-moment state — "
+        "no headroom left for grads/activations on one v5e")
+
+
 def test_shard_accounting_counts_everything(flagship_shapes):
     """Sanity on the accounting itself: per-device bytes x devices must be
     >= the unsharded total (replicated leaves count once per device), and
