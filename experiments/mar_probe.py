@@ -117,15 +117,20 @@ def run_train(B=8, num_domains=8):
            "compile_s": round(compile_s, 1)})
 
 
-def run_train1b(B=8):
+def run_train1b(B=8, remat=True):
     """The FULL 40-domain d512 card (~1.5B params) training on ONE chip —
     the configuration run_train's docstring calls multi-chip-only under
-    fp32 Adam state. bf16 stochastic-rounded moments (train/lowp.py)
-    halve the optimizer HBM (12 -> 8 B/param of persistent state), which
-    is what makes this fit. Production stack otherwise: domain-sliced
-    AdamW (structural stacked mask, as train/trainer.py builds it),
-    remat=False + donation (the measured-fastest d512 config; see
-    bench.py _bench_mar comments)."""
+    fp32 Adam state. Two features combine to make it fit a 16 GB chip:
+      - bf16 stochastic-rounded moments (train/lowp.py): persistent
+        state 12 -> 8 B/param;
+      - sliced gradients (make_train_step(stacked_mask=...)): the
+        backward computes one domain row instead of a full-size fp32
+        zero tree over the stacked tables (~6 GB transient at this
+        card — with full grads the step needs 22.7 GB and OOMs even
+        before activations).
+    remat=True by default here (memory headroom first; the remat=False
+    speed win from bench.py's 8-domain config is re-measured at this
+    scale via run_train1b(remat=False))."""
     import copy
 
     import jax
@@ -143,7 +148,7 @@ def run_train1b(B=8):
     )
 
     cfg = _config(40)
-    model = STMAR(cfg, remat=False)
+    model = STMAR(cfg, remat=remat)
     lat, mask, actions, dom = _data(cfg, B)
     init_rngs = {"params": jax.random.PRNGKey(0),
                  "diffusion": jax.random.PRNGKey(1),
@@ -158,13 +163,16 @@ def run_train1b(B=8):
     alt.d_actions = list(cfg.d_actions) + [cfg.d_actions[-1]]
     alt.action_stats = list(cfg.action_stats) + [cfg.action_stats[-1]]
     alt.__post_init__()
-    other = jax.eval_shape(STMAR(alt, remat=False).init, init_rngs,
+    other = jax.eval_shape(STMAR(alt, remat=remat).init, init_rngs,
                            lat, lat, actions, dom, mask)
+    stacked_mask = domain_stacked_mask(params, other)
     tx = make_domain_sliced_optimizer(
         1e-4, params_template=params,
-        stacked_mask=domain_stacked_mask(params, other),
+        stacked_mask=stacked_mask,
         num_domains=cfg.num_domains, moment_dtype=jnp.bfloat16)
-    step = jax.jit(make_train_step(model, tx, continuous=True),
+    model_sliced = STMAR(cfg, remat=remat, single_domain_params=True)
+    step = jax.jit(make_train_step(model_sliced, tx, continuous=True,
+                                   stacked_mask=stacked_mask),
                    donate_argnums=(0,))
     batch = {"input_ids": lat, "labels": lat, "action_ids": actions,
              "domain_id": dom, "masked_tokens_indicator": mask}
@@ -188,7 +196,7 @@ def run_train1b(B=8):
     peak = stats.get("peak_bytes_in_use")
     toks = B * cfg.T * (cfg.h // cfg.patch_size) ** 2
     assert all(np.isfinite(l) for l in losses), losses
-    _emit({"variant": f"mar_train1b_b{B}_dom40_bf16mom",
+    _emit({"variant": f"mar_train1b_b{B}_dom40_bf16mom_remat{int(remat)}",
            "step_s": round(dt, 4),
            "params_M": round(n_params / 1e6, 1),
            "tokens_per_sec": round(toks / dt),
@@ -282,6 +290,8 @@ if __name__ == "__main__":
         run_train()
     if "train1b" in which:
         run_train1b()
+    if "train1b_noremat" in which:
+        run_train1b(remat=False)
     if "rollout" in which:
         run_rollout()
     if "trace" in which:

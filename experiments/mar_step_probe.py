@@ -35,7 +35,8 @@ def _emit(rec):
         f.write(json.dumps(rec) + "\n")
 
 
-def run_variant(remat: bool, sliced: bool, B=8, num_domains=8, iters=20):
+def run_variant(remat: bool, sliced: bool, B=8, num_domains=8, iters=20,
+                sliced_grads: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -52,6 +53,7 @@ def run_variant(remat: bool, sliced: bool, B=8, num_domains=8, iters=20):
     params = model.init(
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
          "action_drop": jax.random.PRNGKey(2)}, lat, lat, actions, dom, mask)
+    stacked_mask = None
     if sliced:
         # identify the domain-stacked tables by growing the domain axis
         alt = _config(num_domains + 1)
@@ -61,13 +63,23 @@ def run_variant(remat: bool, sliced: bool, B=8, num_domains=8, iters=20):
              "diffusion": jax.random.PRNGKey(1),
              "action_drop": jax.random.PRNGKey(2)},
             lat, lat, actions, dom, mask)
+        stacked_mask = domain_stacked_mask(params, other)
         tx = make_domain_sliced_optimizer(
             1e-4, params_template=params,
-            stacked_mask=domain_stacked_mask(params, other),
+            stacked_mask=stacked_mask,
             num_domains=num_domains)
     else:
         tx = make_optimizer(1e-4, params_template=params)
-    step = jax.jit(make_train_step(model, tx, continuous=True),
+    # sliced_grads: row-slice the stacked tables BEFORE jax.grad (no
+    # full-size zero grad tree; see make_train_step docstring). Changes
+    # the optimizer's input traffic too: the no-remat+sliced pathology
+    # (0.5444 s/step) came from XLA losing in-place aliasing on the full
+    # gather/scatter chains, which this removes from the graph.
+    step_model = (STMAR(cfg, remat=remat, single_domain_params=True)
+                  if sliced_grads else model)
+    step = jax.jit(make_train_step(step_model, tx, continuous=True,
+                                   stacked_mask=(stacked_mask if sliced_grads
+                                                 else None)),
                    donate_argnums=(0,))
     batch = {"input_ids": lat, "labels": lat, "action_ids": actions,
              "domain_id": dom, "masked_tokens_indicator": mask}
@@ -90,7 +102,8 @@ def run_variant(remat: bool, sliced: bool, B=8, num_domains=8, iters=20):
     force(state.params["params"]["pos_embed_TSC"])
     dt = (time.perf_counter() - t0) / iters
     loss = float(m["loss"])
-    _emit({"variant": f"mar_step_remat{int(remat)}_sliced{int(sliced)}",
+    _emit({"variant": (f"mar_step_remat{int(remat)}_sliced{int(sliced)}"
+                       + ("_sg" if sliced_grads else "")),
            "s_per_step": round(dt, 4), "compile_s": round(compile_s, 1),
            "loss": round(loss, 4), "B": B, "num_domains": num_domains})
     del state, step, tx, model
@@ -113,5 +126,19 @@ def main():
            "best_saving_pct": round((1 - min(a, b, c) / base) * 100, 1)})
 
 
+def main_grads():
+    """Round-4 follow-up: does sliced-GRADS rescue the no-remat+sliced
+    combo (and beat the 0.2330 no-remat+dense winner)?"""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hma_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    a = run_variant(remat=False, sliced=True, sliced_grads=True)
+    b = run_variant(remat=True, sliced=True, sliced_grads=True)
+    _emit({"variant": "summary_grads",
+           "no_remat_sliced_sg_s": round(a, 4),
+           "remat_sliced_sg_s": round(b, 4)})
+
+
 if __name__ == "__main__":
-    main()
+    main_grads() if "grads" in sys.argv[1:] else main()

@@ -76,6 +76,22 @@ def unnormalize_actions(actions: jax.Array, domain_id: jax.Array,
     return actions * (std + 1e-10) + mean
 
 
+def take_domain(table: jax.Array, domain_id: jax.Array) -> jax.Array:
+    """Select a domain's row of a stacked PARAM table.
+
+    Static rule: a table whose leading axis is 1 is a pre-sliced
+    single-domain view (sliced-gradient training, train/step.py — the
+    caller already extracted the active domain's row so the backward
+    never materializes num_domains-1 rows of zero gradients), so index 0
+    regardless of domain_id. With num_domains == 1 the two cases
+    coincide (domain_id must be 0). Config CONSTANT tables (d_actions,
+    action_stats) keep their full leading axis and never route through
+    here — they still need the true domain_id.
+    """
+    idx = domain_id if table.shape[0] != 1 else 0
+    return jnp.take(table, idx, axis=0)
+
+
 class DomainDense(nn.Module):
     """Dense layer with a stacked per-domain kernel, selected by domain_id."""
 
@@ -90,13 +106,13 @@ class DomainDense(nn.Module):
     def __call__(self, x: jax.Array, domain_id: jax.Array) -> jax.Array:
         kernel = self.param("kernel", self.kernel_init,
                             (self.num_domains, self.in_features, self.out_features), jnp.float32)
-        w = jnp.take(kernel, domain_id, axis=0).astype(self.dtype)
+        w = take_domain(kernel, domain_id).astype(self.dtype)
         y = jnp.einsum("...i,io->...o", x.astype(self.dtype), w,
                        preferred_element_type=self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.num_domains, self.out_features), jnp.float32)
-            y = y + jnp.take(bias, domain_id, axis=0).astype(self.dtype)
+            y = y + take_domain(bias, domain_id).astype(self.dtype)
         return y
 
 
@@ -116,7 +132,7 @@ class DomainLayerNorm(nn.Module):
         mu = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.var(x32, axis=-1, keepdims=True)
         y = (x32 - mu) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * jnp.take(scale, domain_id, axis=0) + jnp.take(bias, domain_id, axis=0)
+        y = y * take_domain(scale, domain_id) + take_domain(bias, domain_id)
         return y.astype(self.dtype)
 
 
@@ -215,8 +231,8 @@ class DomainCrossAttention(nn.Module):
         # shared fp32 qk-norm, as in BasicCrossAttention (attention.py:121-127)
         ln_scale = self.param("qk_ln_scale", nn.initializers.ones, (self.num_domains, head_dim), jnp.float32)
         ln_bias = self.param("qk_ln_bias", nn.initializers.zeros, (self.num_domains, head_dim), jnp.float32)
-        g = jnp.take(ln_scale, domain_id, axis=0)
-        b = jnp.take(ln_bias, domain_id, axis=0)
+        g = take_domain(ln_scale, domain_id)
+        b = take_domain(ln_bias, domain_id)
 
         def _ln(u):
             u32 = u.astype(jnp.float32)

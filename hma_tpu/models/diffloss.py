@@ -27,7 +27,11 @@ from hma_tpu.diffusion.gaussian import (
     p_sample_loop_indexed,
     training_losses,
 )
-from hma_tpu.models.action_stems import DomainDense, xavier_uniform_gain
+from hma_tpu.models.action_stems import (
+    DomainDense,
+    take_domain,
+    xavier_uniform_gain,
+)
 
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: int = 10000) -> jax.Array:
@@ -177,11 +181,11 @@ def _apply_dense(p: dict, x: jax.Array, dtype) -> jax.Array:
 
 def _apply_domain_dense(p: dict, x: jax.Array, domain_id, dtype) -> jax.Array:
     """DomainDense with the domain slice taken here (action_stems.py:89-100)."""
-    w = jnp.take(p["kernel"], domain_id, axis=0).astype(dtype)
+    w = take_domain(p["kernel"], domain_id).astype(dtype)
     y = jnp.einsum("...i,io->...o", x.astype(dtype), w,
                    preferred_element_type=dtype)
     if "bias" in p:
-        y = y + jnp.take(p["bias"], domain_id, axis=0).astype(dtype)
+        y = y + take_domain(p["bias"], domain_id).astype(dtype)
     return y
 
 
@@ -210,8 +214,8 @@ def _apply_domain_ln(p: dict, x: jax.Array, domain_id, dtype) -> jax.Array:
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
     y = (x32 - mu) * jax.lax.rsqrt(var + 1e-6)
-    y = (y * jnp.take(p["scale"], domain_id, axis=0)
-         + jnp.take(p["bias"], domain_id, axis=0))
+    y = (y * take_domain(p["scale"], domain_id)
+         + take_domain(p["bias"], domain_id))
     return y.astype(dtype)
 
 
@@ -463,7 +467,7 @@ class DiffLoss(nn.Module):
                  + [f"res_{j}_fc1" for j in range(self.depth)]
                  + [f"res_{j}_fc2" for j in range(self.depth)])
         fc = {}
-        sl = (lambda a: jnp.take(a, domain_id, axis=0)) \
+        sl = (lambda a: take_domain(a, domain_id)) \
             if self.num_domains > 0 else (lambda a: a)
         for n in names:
             fc[n] = {"kernel": sl(P[n]["kernel"]).astype(self.dtype),

@@ -59,9 +59,17 @@ class STMAR(nn.Module):
     remat: bool = False  # checkpoint each STBlock (training memory)
     remat_policy: str = "full"  # "full" | "dots" (see STTransformerDecoder)
     temporal_layout: str = "transpose"  # "transpose" | "resident" (STBlock)
+    # Declare domain-stacked PARAM tables with one row instead of
+    # num_domains: the sliced-gradient training path (train/step.py
+    # make_train_step(stacked_mask=...)) feeds pre-sliced single-domain
+    # tables so the backward never materializes the other domains' zero
+    # gradients. Config CONSTANTS (d_actions, action_stats) keep their
+    # full tables — take_domain only redirects size-1 param tables.
+    single_domain_params: bool = False
 
     def setup(self):
         cfg = self.config
+        nd_rows = 1 if self.single_domain_params else cfg.num_domains
         self.h = self.w = cfg.h
         self.patch_dim = cfg.vae_embed_dim * cfg.patch_size**2
         self.seq_len = cfg.S // cfg.patch_size**2
@@ -71,7 +79,7 @@ class STMAR(nn.Module):
             qkv_bias=cfg.qkv_bias, proj_bias=cfg.proj_bias, qk_norm=cfg.qk_norm,
             use_mup=cfg.use_mup, attn_drop=cfg.attn_drop, mlp_ratio=cfg.mlp_ratio,
             mlp_bias=cfg.mlp_bias, mlp_drop=cfg.mlp_drop,
-            action_processing=cfg.action_network, num_domains=cfg.num_domains,
+            action_processing=cfg.action_network, num_domains=nd_rows,
             dtype=self.dtype, remat=self.remat,
             cross_attention_compat=getattr(cfg, "cross_attention_compat",
                                            "fixed"),
@@ -114,14 +122,14 @@ class STMAR(nn.Module):
             self.action_mean_table = jnp.asarray(mean_table)
             self.action_std_table = jnp.asarray(std_table)
             self.action_stem = ActionStemMLP(
-                num_domains=cfg.num_domains, max_d_action=cfg.max_d_action,
+                num_domains=nd_rows, max_d_action=cfg.max_d_action,
                 d_model=cfg.d_model, dtype=self.dtype, name="action_stem")
             if cfg.jointly_predict_actions:
                 self.action_diff_loss = DiffLoss(
                     target_channels=cfg.max_d_action, z_channels=cfg.d_model,
                     depth=cfg.diffloss_d, width=cfg.diffloss_w,
                     num_sampling_steps=cfg.num_sampling_steps,
-                    num_domains=cfg.num_domains, dtype=self.dtype,
+                    num_domains=nd_rows, dtype=self.dtype,
                     name="action_diff_loss")
 
     # ------------------------------------------------------------------

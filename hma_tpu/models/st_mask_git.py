@@ -69,6 +69,9 @@ class STMaskGIT(nn.Module):
     remat: bool = False  # checkpoint each STBlock (training memory)
     remat_policy: str = "full"  # "full" | "dots" (see STTransformerDecoder)
     temporal_layout: str = "transpose"  # "transpose" | "resident" (STBlock)
+    # Declare domain-stacked PARAM tables with one row (sliced-gradient
+    # training, train/step.py); see STMAR.single_domain_params.
+    single_domain_params: bool = False
 
     @property
     def mask_token_id(self) -> int:
@@ -76,13 +79,14 @@ class STMaskGIT(nn.Module):
 
     def setup(self):
         cfg = self.config
+        nd_rows = 1 if self.single_domain_params else cfg.num_domains
         self.h = self.w = cfg.h
         self.decoder = STTransformerDecoder(
             num_layers=cfg.num_layers, num_heads=cfg.num_heads, d_model=cfg.d_model,
             qkv_bias=cfg.qkv_bias, proj_bias=cfg.proj_bias, qk_norm=cfg.qk_norm,
             use_mup=cfg.use_mup, attn_drop=cfg.attn_drop, mlp_ratio=cfg.mlp_ratio,
             mlp_bias=cfg.mlp_bias, mlp_drop=cfg.mlp_drop,
-            action_processing=cfg.action_network, num_domains=cfg.num_domains,
+            action_processing=cfg.action_network, num_domains=nd_rows,
             dtype=self.dtype, remat=self.remat,
             cross_attention_compat=getattr(cfg, "cross_attention_compat",
                                            "fixed"),
@@ -118,11 +122,11 @@ class STMaskGIT(nn.Module):
             self.action_mean_table = jnp.asarray(mean_table)
             self.action_std_table = jnp.asarray(std_table)
             self.action_stem = ActionStemMLP(
-                num_domains=cfg.num_domains, max_d_action=cfg.max_d_action,
+                num_domains=nd_rows, max_d_action=cfg.max_d_action,
                 d_model=cfg.d_model, dtype=self.dtype, name="action_stem")
             if cfg.jointly_predict_actions:
                 self.action_readout = ActionReadout(
-                    num_domains=cfg.num_domains, d_model=cfg.d_model,
+                    num_domains=nd_rows, d_model=cfg.d_model,
                     max_d_action=cfg.max_d_action, dtype=self.dtype,
                     name="action_readout")
 

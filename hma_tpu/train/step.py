@@ -282,7 +282,13 @@ def make_domain_sliced_optimizer(
         d = jnp.asarray(domain_id, jnp.int32)
         take = functools.partial(jax.lax.dynamic_index_in_dim,
                                  index=d, axis=0, keepdims=False)
-        g_slices = jax.tree.map(take, stacked_g)
+        # Grads may arrive pre-sliced to one row (sliced-gradient step,
+        # make_train_step(stacked_mask=...)): leading axis 1 means "the
+        # active domain's row", so index 0. With num_domains == 1 the two
+        # cases coincide (d must be 0). Param/moment leaves stay full.
+        g_slices = jax.tree.map(
+            lambda g: jax.lax.index_in_dim(g, 0, axis=0, keepdims=False)
+            if g.shape[0] == 1 and num_domains != 1 else take(g), stacked_g)
 
         # Global grad norm over dense grads + the active slices — equal to
         # the full-tree norm (inactive slices are exactly zero) without
@@ -370,7 +376,8 @@ def make_domain_sliced_optimizer(
 
 def make_train_step(model, tx: optax.GradientTransformation,
                     *, action_loss_weight: float = 0.5,
-                    microbatch: int = 0, continuous: bool = False) -> Callable:
+                    microbatch: int = 0, continuous: bool = False,
+                    stacked_mask=None) -> Callable:
     """Build train_step(state, batch, rng) -> (state, metrics).
 
     batch: dict with input_ids/labels (B, T, S) int32 (discrete) or
@@ -380,7 +387,26 @@ def make_train_step(model, tx: optax.GradientTransformation,
     gradients are accumulated with lax.scan (manual grad accumulation,
     reference: train_multi.py:561-586). Both model families share this
     one step so accumulation/NaN-skip semantics are identical.
+
+    `stacked_mask` (from `domain_stacked_mask`) turns on SLICED
+    GRADIENTS: the active domain's row is dynamic-sliced out of every
+    stacked param table BEFORE jax.grad, so the backward computes
+    gradients for one domain row instead of scatter-adding into
+    num_domains rows of zeros — exact (inactive rows' grads are
+    identically zero, so even the global-norm clip is unchanged) and it
+    removes the full-size fp32 grad tree from peak HBM, which is what
+    lets the 40-domain d512 1B-class card train on one chip alongside
+    bf16 moments. Requires `model` built with single_domain_params=True
+    and `tx` a DomainSlicedOptimizer (params/moments stay full-size; only
+    the grad tree is sliced).
     """
+    if stacked_mask is not None:
+        if not isinstance(tx, DomainSlicedOptimizer):
+            raise ValueError("sliced gradients need the domain-sliced "
+                             "optimizer (make_domain_sliced_optimizer)")
+        if not getattr(model, "single_domain_params", False):
+            raise ValueError("sliced gradients need the model built with "
+                             "single_domain_params=True")
 
     def loss_fn(params, batch, rng):
         extra = ((batch["masked_tokens_indicator"],) if continuous else ())
@@ -439,7 +465,14 @@ def make_train_step(model, tx: optax.GradientTransformation,
     sliced = isinstance(tx, DomainSlicedOptimizer)
 
     def train_step(state: TrainState, batch, rng):
-        grads, metrics = compute_grads(state.params, batch, rng)
+        if stacked_mask is not None:
+            d = jnp.asarray(batch["domain_id"], jnp.int32)
+            loss_params = jax.tree.map(
+                lambda m, p: jax.lax.dynamic_slice_in_dim(p, d, 1, axis=0)
+                if m else p, stacked_mask, state.params)
+        else:
+            loss_params = state.params
+        grads, metrics = compute_grads(loss_params, batch, rng)
         # NaN guard: skip the update if the loss OR any gradient went
         # non-finite. Guarding on the loss alone is not enough — a step
         # whose forward is finite but whose backward overflows (e.g. the

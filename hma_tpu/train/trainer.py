@@ -118,6 +118,14 @@ class TrainArgs:
     # rounding on write, fp32 math — halves optimizer HBM; train/lowp.py.
     # bf16 moments are what fit the 40-domain d512 1B card on one v5e).
     adam_moment_dtype: str = "float32"
+    # Sliced gradients (train/step.py make_train_step(stacked_mask=...)):
+    # dynamic-slice the active domain's row out of every stacked table
+    # BEFORE jax.grad, so the backward never materializes the other
+    # domains' zero grads (exact; ~6 GB transient saved at the 1B card).
+    # "auto" = on when the domain-sliced optimizer is active and there is
+    # no mesh (sharded stacked tables would turn the slice into a
+    # cross-device gather each step); "on"/"off" force it.
+    sliced_grads: str = "auto"
 
 
 def build_domain_datasets(args: TrainArgs, config):
@@ -231,10 +239,10 @@ class BatchAssembler:
         return out
 
 
-def make_model(args: TrainArgs, config):
-    if args.model_type == "discrete":
-        return STMaskGIT(config, remat=args.grad_checkpointing)
-    return STMAR(config, remat=args.grad_checkpointing)
+def make_model(args: TrainArgs, config, single_domain_params: bool = False):
+    cls = STMaskGIT if args.model_type == "discrete" else STMAR
+    return cls(config, remat=args.grad_checkpointing,
+               single_domain_params=single_domain_params)
 
 
 def run_training(args: TrainArgs) -> dict:
@@ -360,20 +368,26 @@ def run_training(args: TrainArgs) -> dict:
             dev_batch0["input_ids"], dev_batch0["labels"],
             dev_batch0.get("action_ids"), dev_batch0["domain_id"],
             *([dev_batch0["masked_tokens_indicator"]] if not discrete else []))
+        smask = domain_stacked_mask(params, other)
         tx = make_domain_sliced_optimizer(
             schedule, args.weight_decay, args.adam_beta_1,
             args.adam_beta_2, args.adam_eps, args.max_grad_norm,
             params_template=params,
-            stacked_mask=domain_stacked_mask(params, other),
+            stacked_mask=smask,
             num_domains=config.num_domains, mup_width_mult=mup_mult,
             mup_base_shapes=mup_base_shapes,
             moment_dtype=resolve_moment_dtype(args.adam_moment_dtype))
     else:
+        smask = None
         tx = make_optimizer(schedule, args.weight_decay, args.adam_beta_1,
                             args.adam_beta_2, args.adam_eps, args.max_grad_norm,
                             params_template=params, mup_width_mult=mup_mult,
                             mup_base_shapes=mup_base_shapes,
                             moment_dtype=resolve_moment_dtype(args.adam_moment_dtype))
+
+    use_sliced_grads = smask is not None and (
+        args.sliced_grads == "on"
+        or (args.sliced_grads == "auto" and mesh is None))
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -407,9 +421,12 @@ def run_training(args: TrainArgs) -> dict:
     # state lets XLA update params/opt in place — measured ~1.5x train
     # throughput on v5e (tools/mfu_results.jsonl) and halves peak memory.
     microbatch = B if args.gradient_accumulation_steps > 1 else 0
+    step_model = (make_model(args, config, single_domain_params=True)
+                  if use_sliced_grads else model)
     train_step = jax.jit(make_train_step(
-        model, tx, action_loss_weight=config.action_loss_weight,
-        microbatch=microbatch, continuous=not discrete),
+        step_model, tx, action_loss_weight=config.action_loss_weight,
+        microbatch=microbatch, continuous=not discrete,
+        stacked_mask=smask if use_sliced_grads else None),
         donate_argnums=(0,))
     eval_step = jax.jit(make_eval_step(
         model, action_loss_weight=config.action_loss_weight,

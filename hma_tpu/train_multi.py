@@ -67,6 +67,11 @@ def parse_args(argv=None) -> TrainArgs:
                    choices=["float32", "bfloat16"],
                    help="Adam m/v storage dtype. bfloat16 halves optimizer "
                         "HBM via stochastic-rounded writes (train/lowp.py).")
+    p.add_argument("--sliced_grads", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Slice the active domain's row out of stacked "
+                        "tables before jax.grad (no full-size zero grad "
+                        "tree). auto = on when un-meshed + sliced AdamW.")
     ns = p.parse_args(argv)
     return TrainArgs(**vars(ns))
 

@@ -259,6 +259,31 @@ def test_sliced_bf16_nan_skip_preserves_params():
         assert np.all(np.isfinite(np.asarray(m, np.float32)))
 
 
+def test_bf16_moments_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore must preserve the bf16 moment leaves bit-exactly
+    (resume-with-bf16-moments is the production path for the single-chip
+    1B-class run; a silent upcast on restore would double HBM back)."""
+    from hma_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg, model, params, mask, batch_for = tiny_setup()
+    tx = make_domain_sliced_optimizer(
+        3e-3, 0.05, params_template=params, stacked_mask=mask,
+        num_domains=ND, moment_dtype=jnp.bfloat16)
+    state = TrainState(params, tx.init(params), jnp.asarray(0))
+    step = jax.jit(make_train_step(model, tx))
+    for i in range(2):
+        state, _ = step(state, batch_for(i % ND), jax.random.PRNGKey(i))
+
+    save_checkpoint(str(tmp_path), "step_2", state)
+    template = TrainState(params, tx.init(params), jnp.asarray(0))
+    restored = load_checkpoint(str(tmp_path / "step_2"), template)
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32))
+    assert any(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(restored))
+
+
 def test_dense_mup_lowp_moments_are_bf16():
     """make_optimizer(mup_width_mult=...) partitions into matrix/other —
     both partitions' Adam moments must land in bf16."""
