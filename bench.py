@@ -10,11 +10,11 @@ Measures, in allocator-clean sections:
      stack (bf16 activations + remat + Pallas backwards at real shapes)
      produces gradients that actually learn, not just finite ones;
   3. d512 STMAR (the reference's 1B-class headline family,
-     /root/reference/README.md:108-111): training step (8 domains — the
-     40-domain card's fp32 Adam state exceeds one v5e's HBM; that config
-     is fsdp-sharded, see __graft_entry__) and the KV-cached MAR rollout
-     (16 maskgit x 100 denoise, CFG off) with the fused denoise-loop
-     Pallas kernel;
+     /root/reference/README.md:108-111): the FULL 40-domain ~1.5B-param
+     card training on this ONE 16 GB chip (fp32 master params, bf16
+     stochastic-rounded Adam moments, sliced gradients, remat) and the
+     KV-cached MAR rollout (16 maskgit x 100 denoise, CFG off) with the
+     fused denoise-loop Pallas kernel;
   4. KV-cached MaskGIT rollout (this framework's algorithm) vs the
      reference algorithm (full T-frame recompute per MaskGIT step, as in
      hma/generate.py:157 + st_mask_git.py:337-467) on the same hardware;
@@ -36,11 +36,13 @@ import traceback
 import numpy as np
 
 # A healthy full run takes ~16 min (compile-cache cold) for the discrete
-# sections; the MAR sections add a few more compiles. The axon tunnel can
-# hard-hang (observed: an 8h outage where even jnp.ones never returned
-# and no exception was raised), which would stall the whole round-end
-# pipeline — fail loudly instead.
-WATCHDOG_SECS = int(os.environ.get("HMA_TPU_BENCH_TIMEOUT", 4200))
+# sections; the MAR sections add a few more compiles, the largest being
+# the 1B-class sliced-grad train step (~28 min cold, seconds when the
+# persistent cache at /tmp/hma_tpu_jax_cache is warm). The axon tunnel
+# can hard-hang (observed: an 8h outage where even jnp.ones never
+# returned and no exception was raised), which would stall the whole
+# round-end pipeline — fail loudly instead.
+WATCHDOG_SECS = int(os.environ.get("HMA_TPU_BENCH_TIMEOUT", 7200))
 
 
 def _watchdog():
@@ -275,8 +277,22 @@ def main():
 
 
 def _bench_mar(jax, jnp, force, timed) -> dict:
-    """d512 STMAR: train step (8 domains, fits one chip) + KV-cached MAR
-    rollout (40-domain card, bf16, 16 maskgit x 100 denoise, CFG off)."""
+    """d512 STMAR: the FULL 40-domain 1B-class card (the reference's
+    headline model) training on ONE 16 GB chip + the KV-cached MAR
+    rollout (same card, bf16, 16 maskgit x 100 denoise, CFG off).
+
+    Three features combine to fit ~1.5B params of train state on one
+    v5e: bf16 stochastic-rounded Adam moments (train/lowp.py, 12 ->
+    8 B/param persistent), sliced gradients (make_train_step(
+    stacked_mask=...) — the backward produces one domain row instead of
+    a full stacked zero-grad tree), and the optimization_barrier in the
+    sliced moment update that keeps the donated tables updated in place
+    (without it XLA copies every stacked table: +4 GB of temps -> OOM).
+    The smaller 8-domain card's remat/sliced bake-off lives in
+    experiments/artifacts/mar_step_r4.jsonl + PROFILE_r3.md; this
+    section benches the production configuration (remat=True for
+    activation headroom at the 1B scale)."""
+    import copy
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -285,47 +301,59 @@ def _bench_mar(jax, jnp, force, timed) -> dict:
 
     from hma_tpu.models.st_mar import STMAR
     from hma_tpu.rollout.mar import make_mar_generator
-    from hma_tpu.train.step import TrainState, make_optimizer, make_train_step
+    from hma_tpu.train.step import (TrainState, domain_stacked_mask,
+                                    make_domain_sliced_optimizer,
+                                    make_train_step)
 
     out: dict = {}
     B = 8
 
-    # train (8 domains: the 40-domain card's fp32 params + Adam moments
-    # exceed one v5e's HBM; that config trains fsdp-sharded — the width
-    # -dependent trunk cost is domain-count-independent)
-    # remat=False: measured 0.2330 vs 0.2429 s/step with remat=True —
-    # at d512/6k-rows the activations are tiny and the step is 97.7%
-    # HBM-bound, so the recompute pass only adds traffic. Sliced AdamW
-    # alone is a wash (0.2338) and pathological combined with no-remat
-    # (0.5444); see PROFILE_r3.md "MAR train-step profile" +
-    # experiments/artifacts/mar_step_r4.jsonl.
-    cfg = _config(8)
-    tm = STMAR(cfg, remat=False)
+    cfg = _config(40)
+    tm = STMAR(cfg, remat=True)
     lat, mask, actions, dom = _data(cfg, B)
-    params = tm.init(
-        {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
-         "action_drop": jax.random.PRNGKey(2)}, lat, lat, actions, dom, mask)
+    init_rngs = {"params": jax.random.PRNGKey(0),
+                 "diffusion": jax.random.PRNGKey(1),
+                 "action_drop": jax.random.PRNGKey(2)}
+    params = tm.init(init_rngs, lat, lat, actions, dom, mask)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    tx = make_optimizer(1e-4, params_template=params)
-    step = jax.jit(make_train_step(tm, tx, continuous=True),
+
+    # structural stacked-leaf mask, exactly as the trainer derives it
+    alt = copy.deepcopy(cfg)
+    alt.action_domains = list(cfg.action_domains) + ["__probe__"]
+    alt.d_actions = list(cfg.d_actions) + [cfg.d_actions[-1]]
+    alt.action_stats = list(cfg.action_stats) + [cfg.action_stats[-1]]
+    alt.__post_init__()
+    other = jax.eval_shape(STMAR(alt, remat=True).init, init_rngs,
+                           lat, lat, actions, dom, mask)
+    stacked_mask = domain_stacked_mask(params, other)
+    tx = make_domain_sliced_optimizer(
+        1e-4, params_template=params, stacked_mask=stacked_mask,
+        num_domains=cfg.num_domains, moment_dtype=jnp.bfloat16)
+    tm_sliced = STMAR(cfg, remat=True, single_domain_params=True)
+    step = jax.jit(make_train_step(tm_sliced, tx, continuous=True,
+                                   stacked_mask=stacked_mask),
                    donate_argnums=(0,))
     batch = {"input_ids": lat, "labels": lat, "action_ids": actions,
              "domain_id": dom, "masked_tokens_indicator": mask}
     state = TrainState(params, tx.init(params), jnp.asarray(0))
     params = None
     state, _ = step(state, batch, jax.random.PRNGKey(0))  # compile
-    state, _ = step(state, batch, jax.random.PRNGKey(1))  # warm
+    state, _m = step(state, batch, jax.random.PRNGKey(1))  # warm
     force(state.params["params"]["pos_embed_TSC"])
     t0 = time.perf_counter()
     for i in range(10):
-        state, _ = step(state, batch, jax.random.PRNGKey(i))
+        state, _m = step(state, batch, jax.random.PRNGKey(i))
     force(state.params["params"]["pos_embed_TSC"])
     dt = (time.perf_counter() - t0) / 10
     toks = B * cfg.T * (cfg.h // cfg.patch_size) ** 2
-    out["train_s_per_step"] = round(dt, 4)
-    out["train_params_M_dom8"] = round(n_params / 1e6, 1)
-    out["train_model_tflops_per_sec"] = round(6 * n_params * toks / dt / 1e12, 1)
-    del state, step, tx, tm
+    hbm = (jax.local_devices()[0].memory_stats() or {}).get("peak_bytes_in_use")
+    out["train1b_s_per_step"] = round(dt, 4)
+    out["train1b_params_M_dom40"] = round(n_params / 1e6, 1)
+    out["train1b_model_tflops_per_sec"] = round(6 * n_params * toks / dt / 1e12, 1)
+    out["train1b_loss_finite"] = bool(jnp.isfinite(_m["loss"]))
+    if hbm:
+        out["train1b_peak_hbm_gib"] = round(hbm / 2**30, 2)
+    del state, step, tx, tm, tm_sliced
     jax.clear_caches()
 
     # rollout: the full 40-domain 1B-class card in bf16

@@ -351,6 +351,17 @@ def make_domain_sliced_optimizer(
             if m_dtype is not None:
                 m_d = stochastic_round(m_d, m_dtype, mk)
                 v_d = stochastic_round(v_d, m_dtype, vk)
+            # Barrier between the row compute (which READS take(p/m/v))
+            # and the scatter WRITES of the same buffers. Without it XLA
+            # fuses read+compute+DUS into one kernel, which makes the
+            # in-place update illegal (same buffer read and written inside
+            # one fusion), and copy-insertion falls back to materializing
+            # a full fresh copy of every stacked table: ~4 GB of 40 MB
+            # copy temps on the 40-domain d512 card — the difference
+            # between the 1B-class card fitting one 16 GB chip (11.3 GB
+            # donated state) and an 18 GB compile-time OOM. The barrier
+            # costs three row-sized (~1 MB) materializations per table.
+            p_d, m_d, v_d = jax.lax.optimization_barrier((p_d, m_d, v_d))
             return put(p, p_d), put(m, m_d), put(v, v_d)
 
         out = jax.tree.map(upd_leaf, stacked_p, g_slices, state.m, state.v,

@@ -214,12 +214,19 @@ class BatchAssembler:
         self.rng = rng
         self.discrete = discrete
 
-    def __call__(self, global_indices: np.ndarray) -> dict:
+    def __call__(self, global_indices: np.ndarray, step=None) -> dict:
         ds_idx = int(np.searchsorted(self.offsets, global_indices[0], side="right") - 1)
         local = global_indices - self.offsets[ds_idx]
         items = [self.datasets[ds_idx][int(i)] for i in local]
         collate = maskgit_collate if self.discrete else maskgit_collate_feature
-        batch = collate(items, self.config, self.rng)
+        # Training passes `step`: the collate rng (mask schedule sampling)
+        # is then derived from (seed, step) instead of a stateful stream,
+        # so an interrupted+resumed run collates step k identically to an
+        # uninterrupted one — resume is bit-exact
+        # (tests/test_cli_train_generate.py::test_resume_equals_straight_run*).
+        rng = (self.rng if step is None
+               else np.random.default_rng([self.args.seed, int(step)]))
+        batch = collate(items, self.config, rng)
         T = self.config.T
         B = len(items)
         h, w = batch["h"][0], batch["w"][0]
@@ -476,7 +483,15 @@ def run_training(args: TrainArgs) -> dict:
             "uses the Python assembler + make_array_from_process_local_data)"
         assert put is not None
     step_i = start_step
-    epoch = 0
+    # Resume fast-forward: replay the epoch and intra-epoch sampler
+    # position the interrupted run was at, so resumed step k draws
+    # exactly the indices step k of an uninterrupted run drew. Together
+    # with the step-derived collate rng (BatchAssembler.__call__) this
+    # makes resume bit-exact for the assembler path. (Native-loader
+    # prefetch state can't be replayed without re-reading; its task_rng
+    # stream is kept aligned below, the loader position is best-effort.)
+    epoch = start_step // steps_per_epoch
+    skip = start_step % steps_per_epoch
     t_last = time.time()
     last_metrics = {}
 
@@ -487,6 +502,11 @@ def run_training(args: TrainArgs) -> dict:
         for indices in sampler:
             if step_i >= max_steps:
                 break
+            if skip > 0:
+                skip -= 1
+                if native_loaders is not None:
+                    task_rng.choice(len(native_loaders), p=dist)
+                continue
             # per-batch host-side fault tolerance: a bad shard/example must
             # not kill a long multi-dataset run (reference:
             # train_multi.py:556-591)
@@ -497,7 +517,7 @@ def run_training(args: TrainArgs) -> dict:
                     batch["domain_id"] = np.asarray(ds_idx, np.int32)
                 else:
                     # every process loads only its shard of the global batch
-                    batch = assembler(local_slice(indices))
+                    batch = assembler(local_slice(indices), step=step_i)
             except Exception as e:
                 logger.log({"train/batch_error": str(e)[:200]}, step=step_i)
                 if multiproc:

@@ -107,6 +107,55 @@ def test_generate_cli(synth_env):
     assert video3.size == 2 * 4 * meta3["h"] * meta3["w"]
 
 
+def test_resume_equals_straight_run_bf16_moments(synth_env, tmp_path):
+    """Interrupt/resume must be a no-op: 6 steps + resume to 12 ends in
+    the SAME state as 12 straight steps — including the bf16
+    stochastic-rounded Adam moments (train/lowp.py), whose dtype and
+    values must survive the Orbax save/restore round trip. Guards the
+    production 1B-card numeric stack's restore path: a silent
+    bf16→fp32 upcast on restore (or a re-round of restored moments)
+    would diverge here. Device-side per-step RNG is step-indexed
+    (trainer.py PRNGKey(step_i)) and overfit_first_batch pins the host
+    batch, so the comparison is exact, not statistical."""
+    import orbax.checkpoint as ocp
+
+    root, data, cfg_path, split_path, domain = synth_env
+    from hma_tpu.train.trainer import TrainArgs, run_training
+
+    def train(out, resume=None):
+        args = TrainArgs(
+            genie_config=str(cfg_path), output_dir=str(out),
+            train_split=str(split_path), data_root=str(data),
+            model_type="discrete", window_size=4,
+            per_device_train_batch_size=4, learning_rate=3e-3,
+            max_train_steps=12, eval_every_n_steps=100, max_eval_steps=1,
+            checkpointing_steps="6", num_warmup_steps=2, log_every=100,
+            overfit_first_batch=True, adam_moment_dtype="bfloat16",
+            resume_from_checkpoint=resume)
+        run_training(args)
+
+    straight, resumed = tmp_path / "straight", tmp_path / "resumed"
+    train(straight)
+    # "interrupt" = straight's own step_6 snapshot; resuming from it in a
+    # fresh dir must replay steps 6-11 identically (same LR horizon, same
+    # step-derived collate rng, same sampler position).
+    train(resumed, resume=str(straight / "step_6"))
+
+    ckptr = ocp.StandardCheckpointer()
+    a = ckptr.restore((straight / "step_12" / "state").absolute())
+    b = ckptr.restore((resumed / "step_12" / "state").absolute())
+    flat_a, tree_a = __import__("jax").tree_util.tree_flatten_with_path(a)
+    flat_b, _ = __import__("jax").tree_util.tree_flatten_with_path(b)
+    assert len(flat_a) == len(flat_b)
+    saw_bf16_moment = False
+    for (path_a, xa), (_, xb) in zip(flat_a, flat_b):
+        assert xa.dtype == xb.dtype, path_a
+        saw_bf16_moment |= str(xa.dtype) == "bfloat16"
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb),
+                                      err_msg=str(path_a))
+    assert saw_bf16_moment  # the restored state really holds bf16 moments
+
+
 def test_checkpoint_ordering_mixed_modes(tmp_path):
     """step_N and epoch_N counters are not comparable; ordering must use
     recency (regression: epoch_2 sorted before step_1000, so pruning
