@@ -6,7 +6,16 @@
 // the hot host-side path — windowed memmap reads, base-512 factorization,
 // Copilot4D corruption, non-MLM prefix masking, and cosine-scheduled
 // MaskGIT masking (semantics of hma/data.py:28-95) — runs in C++ worker
-// threads feeding a bounded queue, so the TPU never waits on Python.
+// threads feeding an ordered prefetch buffer, so the TPU never waits on
+// Python.
+//
+// Determinism contract: batch i is a pure function of (seed, i), and
+// delivery is strictly in index order regardless of thread scheduling —
+// the same contract the torch DataLoader gives the reference (worker
+// results are returned in sampler order, hma/train_multi.py:948). This
+// makes native-loader training runs reproducible and makes resume
+// exact: a loader created with start_index=k yields exactly batches
+// k, k+1, ... of a fresh run's sequence.
 //
 // C ABI (used via ctypes from hma_tpu/data/native_loader.py):
 //   hma_loader_create(...)        -> opaque handle
@@ -15,13 +24,14 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libhma_loader.so hma_loader.cpp -lpthread
 
-#include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <deque>
 #include <fcntl.h>
+#include <functional>
+#include <map>
+#include <memory>
 #include <mutex>
 #include <random>
 #include <sys/mman.h>
@@ -81,43 +91,85 @@ inline float half_to_float(uint16_t h) {
   return f;
 }
 
+// Deterministic ordered prefetcher. Workers atomically claim batch
+// indices, compute each batch with a PRNG derived purely from
+// (seed, index), and park results in a reorder buffer; next() emits
+// strictly in index order. Thread count affects throughput only, never
+// the delivered sequence. The buffer is bounded by `depth` (a worker
+// holding batch i blocks until i < next_emit + depth), so memory stays
+// O(depth + num_threads) batches, same as the old bounded queue.
 template <typename T>
-class BoundedQueue {
+class OrderedPrefetcher {
  public:
-  explicit BoundedQueue(int depth) : depth_(depth) {}
-  void stop() {
-    stop_.store(true);
-    cv_pop_.notify_all();
-    cv_push_.notify_all();
+  using CollateFn = std::function<void(std::mt19937_64&, T*)>;
+
+  OrderedPrefetcher(uint64_t seed, int64_t start_index, int num_threads,
+                    int depth, CollateFn fn)
+      : seed_(seed), depth_(depth < 1 ? 1 : depth), fn_(std::move(fn)),
+        next_claim_(start_index), next_emit_(start_index) {
+    for (int i = 0; i < (num_threads < 1 ? 1 : num_threads); ++i)
+      workers_.emplace_back([this] { worker(); });
   }
-  bool stopped() const { return stop_.load(); }
-  // returns false if stopped before a slot freed
-  bool push(T&& item) {
-    std::unique_lock<std::mutex> lk(mu_);
-    cv_push_.wait(lk, [this] { return (int)q_.size() < depth_ || stop_.load(); });
-    if (stop_.load()) return false;
-    q_.push_back(std::move(item));
-    lk.unlock();
-    cv_pop_.notify_one();
-    return true;
+
+  ~OrderedPrefetcher() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
   }
-  bool pop(T* out) {
+
+  bool next(T* out) {
     std::unique_lock<std::mutex> lk(mu_);
-    cv_pop_.wait(lk, [this] { return !q_.empty() || stop_.load(); });
-    if (q_.empty()) return false;
-    *out = std::move(q_.front());
-    q_.pop_front();
+    cv_.wait(lk, [this] { return stop_ || ready_.count(next_emit_) != 0; });
+    auto it = ready_.find(next_emit_);
+    if (it == ready_.end()) return false;  // stopped
+    *out = std::move(it->second);
+    ready_.erase(it);
+    ++next_emit_;
     lk.unlock();
-    cv_push_.notify_one();
+    cv_.notify_all();  // wake workers blocked on the depth bound
     return true;
   }
 
  private:
-  int depth_;
-  std::deque<T> q_;
+  void worker() {
+    for (;;) {
+      int64_t i;
+      {
+        std::lock_guard<std::mutex> lk(mu_);
+        if (stop_) return;
+        i = next_claim_++;
+      }
+      // splitmix64 finalizer over (seed, index): adjacent indices get
+      // decorrelated mt19937_64 seeds (a raw seed+i stream would hand
+      // correlated initial states to neighboring batches).
+      uint64_t z = seed_ + 0x9E3779B97F4A7C15ULL * (uint64_t)(i + 1);
+      z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+      z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+      std::mt19937_64 rng(z ^ (z >> 31));
+      T b;
+      fn_(rng, &b);
+      std::unique_lock<std::mutex> lk(mu_);
+      cv_.wait(lk, [this, i] { return stop_ || i < next_emit_ + depth_; });
+      if (stop_) return;
+      ready_.emplace(i, std::move(b));
+      lk.unlock();
+      cv_.notify_all();
+    }
+  }
+
+  const uint64_t seed_;
+  const int64_t depth_;
+  CollateFn fn_;
   std::mutex mu_;
-  std::condition_variable cv_pop_, cv_push_;
-  std::atomic<bool> stop_{false};
+  std::condition_variable cv_;
+  std::map<int64_t, T> ready_;
+  int64_t next_claim_;
+  int64_t next_emit_;
+  bool stop_ = false;
+  std::vector<std::thread> workers_;
 };
 
 struct LoaderConfig {
@@ -141,6 +193,7 @@ struct LoaderConfig {
   uint64_t seed;
   int num_threads;
   int queue_depth;
+  int64_t start_index;  // first batch index to deliver (resume fast-forward)
 };
 
 // Valid window start indices: windows must not straddle segment
@@ -164,7 +217,7 @@ class Loader {
  public:
   Loader(const LoaderConfig& cfg, const char* video_path,
          const char* seg_path, const char* actions_path)
-      : cfg_(cfg), queue_(cfg.queue_depth) {
+      : cfg_(cfg) {
     ok_ = video_.open(video_path);
     if (seg_path && seg_path[0]) has_segs_ = segs_.open(seg_path);
     if (actions_path && actions_path[0]) has_actions_ = acts_.open(actions_path);
@@ -173,13 +226,9 @@ class Loader {
                                          cfg_.stride, has_segs_,
                                          has_segs_ ? segs() : nullptr);
     if (valid_starts_.empty()) { ok_ = false; return; }
-    for (int i = 0; i < cfg_.num_threads; ++i)
-      workers_.emplace_back([this, i] { worker(i); });
-  }
-
-  ~Loader() {
-    queue_.stop();
-    for (auto& t : workers_) t.join();
+    pf_ = std::make_unique<OrderedPrefetcher<Batch>>(
+        cfg_.seed, cfg_.start_index, cfg_.num_threads, cfg_.queue_depth,
+        [this](std::mt19937_64& rng, Batch* out) { collate(rng, out); });
   }
 
   bool ok() const { return ok_; }
@@ -187,7 +236,7 @@ class Loader {
 
   bool next(int32_t* input_ids, int32_t* labels, float* actions) {
     Batch b;
-    if (!queue_.pop(&b)) return false;
+    if (!pf_->next(&b)) return false;
     std::memcpy(input_ids, b.input_ids.data(), b.input_ids.size() * 4);
     std::memcpy(labels, b.labels.data(), b.labels.size() * 4);
     if (actions && !b.actions.empty())
@@ -288,21 +337,13 @@ class Loader {
     }
   }
 
-  void worker(int idx) {
-    std::mt19937_64 rng(cfg_.seed * 1000003u + idx);
-    while (!queue_.stopped()) {
-      Batch b;
-      collate(rng, &b);
-      if (!queue_.push(std::move(b))) return;
-    }
-  }
-
   LoaderConfig cfg_;
   Mmap video_, segs_, acts_;
   bool ok_ = false, has_segs_ = false, has_actions_ = false;
   std::vector<int64_t> valid_starts_;
-  std::vector<std::thread> workers_;
-  BoundedQueue<Batch> queue_;
+  // declared last: its worker threads read the members above, so it must
+  // be destroyed first (members destruct in reverse declaration order)
+  std::unique_ptr<OrderedPrefetcher<Batch>> pf_;
 };
 
 // ---------------------------------------------------------------------------
@@ -337,13 +378,14 @@ struct FeatureConfig {
   uint64_t seed;
   int num_threads;
   int queue_depth;
+  int64_t start_index;  // first batch index to deliver (resume fast-forward)
 };
 
 class FeatureLoader {
  public:
   FeatureLoader(const FeatureConfig& cfg, const char* video_path,
                 const char* seg_path, const char* actions_path)
-      : cfg_(cfg), queue_(cfg.queue_depth) {
+      : cfg_(cfg) {
     ok_ = video_.open(video_path);
     if (seg_path && seg_path[0]) has_segs_ = segs_.open(seg_path);
     if (actions_path && actions_path[0]) has_actions_ = acts_.open(actions_path);
@@ -352,13 +394,9 @@ class FeatureLoader {
                                          cfg_.stride, has_segs_,
                                          has_segs_ ? segs() : nullptr);
     if (valid_starts_.empty()) { ok_ = false; return; }
-    for (int i = 0; i < cfg_.num_threads; ++i)
-      workers_.emplace_back([this, i] { worker(i); });
-  }
-
-  ~FeatureLoader() {
-    queue_.stop();
-    for (auto& t : workers_) t.join();
+    pf_ = std::make_unique<OrderedPrefetcher<FeatureBatch>>(
+        cfg_.seed, cfg_.start_index, cfg_.num_threads, cfg_.queue_depth,
+        [this](std::mt19937_64& rng, FeatureBatch* out) { collate(rng, out); });
   }
 
   bool ok() const { return ok_; }
@@ -366,7 +404,7 @@ class FeatureLoader {
 
   bool next(float* latents, float* labels, int32_t* mask, float* actions) {
     FeatureBatch b;
-    if (!queue_.pop(&b)) return false;
+    if (!pf_->next(&b)) return false;
     std::memcpy(latents, b.latents.data(), b.latents.size() * 4);
     std::memcpy(labels, b.labels.data(), b.labels.size() * 4);
     std::memcpy(mask, b.mask.data(), b.mask.size() * 4);
@@ -442,21 +480,12 @@ class FeatureLoader {
     }
   }
 
-  void worker(int idx) {
-    std::mt19937_64 rng(cfg_.seed * 1000003u + idx);
-    while (!queue_.stopped()) {
-      FeatureBatch b;
-      collate(rng, &b);
-      if (!queue_.push(std::move(b))) return;
-    }
-  }
-
   FeatureConfig cfg_;
   Mmap video_, segs_, acts_;
   bool ok_ = false, has_segs_ = false, has_actions_ = false;
   std::vector<int64_t> valid_starts_;
-  std::vector<std::thread> workers_;
-  BoundedQueue<FeatureBatch> queue_;
+  // declared last: destroyed first, while the members it reads still live
+  std::unique_ptr<OrderedPrefetcher<FeatureBatch>> pf_;
 };
 
 }  // namespace
@@ -471,13 +500,14 @@ void* hma_loader_create(const char* video_path, const char* seg_path,
                         double max_corrupt_rate, double non_mlm_ratio,
                         int num_prompt_frames, double mask_ratio_min,
                         int apply_corruption, int apply_mask, uint64_t seed,
-                        int num_threads, int queue_depth) {
+                        int num_threads, int queue_depth,
+                        int64_t start_index) {
   LoaderConfig cfg{num_images, h, w, window_size, stride, batch_size,
                    action_dim, action_width, mask_token_id,
                    factored_vocab_size, num_factored_vocabs, max_corrupt_rate,
                    non_mlm_ratio, num_prompt_frames, mask_ratio_min,
                    apply_corruption, apply_mask, seed, num_threads,
-                   queue_depth};
+                   queue_depth, start_index};
   auto* loader = new Loader(cfg, video_path, seg_path, actions_path);
   if (!loader->ok()) { delete loader; return nullptr; }
   return loader;
@@ -500,11 +530,12 @@ void* hma_floader_create(const char* video_path, const char* seg_path,
                          int batch_size, int action_dim, int action_width,
                          double non_mlm_ratio, int num_prompt_frames,
                          double mask_ratio_min, int apply_mask, double scale,
-                         uint64_t seed, int num_threads, int queue_depth) {
+                         uint64_t seed, int num_threads, int queue_depth,
+                         int64_t start_index) {
   FeatureConfig cfg{num_images, c, h, w, window_size, stride, batch_size,
                     action_dim, action_width, non_mlm_ratio,
                     num_prompt_frames, mask_ratio_min, apply_mask, scale,
-                    seed, num_threads, queue_depth};
+                    seed, num_threads, queue_depth, start_index};
   auto* loader = new FeatureLoader(cfg, video_path, seg_path, actions_path);
   if (!loader->ok()) { delete loader; return nullptr; }
   return loader;

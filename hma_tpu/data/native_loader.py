@@ -7,6 +7,12 @@ the framework's native replacement for the reference's torch DataLoader
 worker processes. Falls back cleanly (raises ImportError) when no
 compiler is available; the pure-Python BatchAssembler remains the
 portable path.
+
+Batch i is a pure function of (seed, i) and delivery is in index order
+regardless of thread count (cpp OrderedPrefetcher), so runs are
+reproducible and `start_batch=k` resumes exactly at batch k of a fresh
+run's sequence — the determinism contract the reference gets from the
+torch DataLoader's sampler-ordered workers.
 """
 
 from __future__ import annotations
@@ -50,7 +56,7 @@ def _load_library():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_double,
         ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
-        ctypes.c_int]
+        ctypes.c_int, ctypes.c_int64]
     lib.hma_loader_next.restype = ctypes.c_int
     lib.hma_loader_next.argtypes = [ctypes.c_void_p] + [
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -66,7 +72,7 @@ def _load_library():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_double,
         ctypes.c_int, ctypes.c_double, ctypes.c_uint64, ctypes.c_int,
-        ctypes.c_int]
+        ctypes.c_int, ctypes.c_int64]
     lib.hma_floader_next.restype = ctypes.c_int
     lib.hma_floader_next.argtypes = [
         ctypes.c_void_p,
@@ -91,7 +97,7 @@ class NativeTokenLoader:
     def __init__(self, data_dir: str, config: GenieConfig, batch_size: int,
                  *, stride: Optional[int] = None, seed: int = 0,
                  num_threads: int = 2, queue_depth: int = 4,
-                 action_width: Optional[int] = None):
+                 action_width: Optional[int] = None, start_batch: int = 0):
         lib = _load_library()
         data_dir = Path(data_dir)
         meta = json.loads((data_dir / "metadata.json").read_text())
@@ -123,7 +129,8 @@ class NativeTokenLoader:
             config.non_mlm_ratio, config.num_prompt_frames,
             config.dataloader_mask_ratio_min,
             int(config.dataloader_apply_corruption),
-            int(config.dataloader_apply_mask), seed, num_threads, queue_depth)
+            int(config.dataloader_apply_mask), seed, num_threads, queue_depth,
+            start_batch)
         if not self._handle:
             raise RuntimeError(f"failed to open dataset at {data_dir}")
         self._lib = lib
@@ -176,7 +183,7 @@ class NativeFeatureLoader:
     def __init__(self, data_dir: str, config, batch_size: int, *,
                  stride: Optional[int] = None, seed: int = 0,
                  num_threads: int = 2, queue_depth: int = 4,
-                 action_width: Optional[int] = None):
+                 action_width: Optional[int] = None, start_batch: int = 0):
         from hma_tpu.tokenizer.svd_vae import SVD_SCALE
 
         lib = _load_library()
@@ -208,7 +215,7 @@ class NativeFeatureLoader:
             config.non_mlm_ratio, config.num_prompt_frames,
             config.dataloader_mask_ratio_min,
             int(config.dataloader_apply_mask), float(SVD_SCALE),
-            seed, num_threads, queue_depth)
+            seed, num_threads, queue_depth, start_batch)
         if not self._handle:
             raise RuntimeError(f"failed to open dataset at {data_dir}")
         self._lib = lib

@@ -303,29 +303,29 @@ def run_training(args: TrainArgs) -> dict:
     rng_np = np.random.default_rng(args.seed)
     assembler = BatchAssembler(train_sets, domains, config, args, rng_np, discrete)
     native_loaders = None
-    if (args.use_native_loader and not args.overfit_first_batch
-            and not getattr(config, "drop_action_ratio", 0.0)):
-        # the C++ loader does not implement per-item action dropping;
-        # fall back to the Python assembler when the knob is active
+    want_native = (args.use_native_loader and not args.overfit_first_batch
+                   and not getattr(config, "drop_action_ratio", 0.0))
+    # the C++ loader does not implement per-item action dropping; fall
+    # back to the Python assembler when that knob is active. Creation is
+    # deferred until start_step is known (after checkpoint restore): the
+    # loader delivers batch i as a pure function of (seed, i), so passing
+    # each loader the number of batches the interrupted run consumed from
+    # it makes native-path resume draw exactly the data a straight run
+    # would have drawn.
+
+    def _make_native_loaders(start_counts):
         if discrete:
-            from hma_tpu.data.native_loader import NativeTokenLoader
+            from hma_tpu.data.native_loader import NativeTokenLoader as NL
 
             fmt = "{root}/{domain}_magvit_max1000000_train"
-            native_loaders = [
-                NativeTokenLoader(fmt.format(root=args.data_root, domain=d),
-                                  config, batch_size=effective_batch,
-                                  seed=args.seed + i,
-                                  action_width=config.max_d_action)
-                for i, d in enumerate(domains)]
         else:
-            from hma_tpu.data.native_loader import NativeFeatureLoader
+            from hma_tpu.data.native_loader import NativeFeatureLoader as NL
 
             fmt = "{root}/{domain}_vae_max1000000_train"
-            native_loaders = [
-                NativeFeatureLoader(fmt.format(root=args.data_root, domain=d),
-                                    config, batch_size=effective_batch,
-                                    seed=args.seed + i,
-                                    action_width=config.max_d_action)
+        return [NL(fmt.format(root=args.data_root, domain=d), config,
+                   batch_size=effective_batch, seed=args.seed + i,
+                   action_width=config.max_d_action,
+                   start_batch=int(start_counts[i]))
                 for i, d in enumerate(domains)]
     val_assembler = BatchAssembler(val_sets, domains, config, args,
                                    np.random.default_rng(0), discrete)
@@ -423,6 +423,24 @@ def run_training(args: TrainArgs) -> dict:
         state = load_checkpoint(resume, state)
         start_step = int(state.step)
 
+    if want_native:
+        # Per-loader resume offsets: replay the task-selection stream the
+        # interrupted run consumed (one rng per epoch, one choice per
+        # step — must mirror the live loop's one-at-a-time draws exactly)
+        # and count how many batches each loader delivered. O(start_step)
+        # host-side draws, a few seconds per million resumed steps.
+        start_counts = np.zeros(len(domains), np.int64)
+        if start_step:
+            task_dist = sampler.generate_tasks_distribution()
+            done_epochs = start_step // steps_per_epoch
+            for e in range(done_epochs + 1):
+                r = np.random.default_rng(args.seed + e)
+                n = (steps_per_epoch if e < done_epochs
+                     else start_step % steps_per_epoch)
+                for _ in range(n):
+                    start_counts[int(r.choice(len(domains), p=task_dist))] += 1
+        native_loaders = _make_native_loaders(start_counts)
+
     # One unified step for both families: grad-accum microbatches of size B
     # are scanned inside the jitted step (train/step.py). Donating the
     # state lets XLA update params/opt in place — measured ~1.5x train
@@ -487,9 +505,11 @@ def run_training(args: TrainArgs) -> dict:
     # position the interrupted run was at, so resumed step k draws
     # exactly the indices step k of an uninterrupted run drew. Together
     # with the step-derived collate rng (BatchAssembler.__call__) this
-    # makes resume bit-exact for the assembler path. (Native-loader
-    # prefetch state can't be replayed without re-reading; its task_rng
-    # stream is kept aligned below, the loader position is best-effort.)
+    # makes resume bit-exact for the assembler path. The native path is
+    # exact too: loaders were created above with start_batch = each
+    # loader's consumed count (batch i is a pure function of (seed, i)),
+    # and the skip loop below keeps the current epoch's task_rng stream
+    # aligned without consuming loader batches.
     epoch = start_step // steps_per_epoch
     skip = start_step % steps_per_epoch
     t_last = time.time()

@@ -173,3 +173,48 @@ def test_checkpoint_ordering_mixed_modes(tmp_path):
     assert latest_checkpoint(str(tmp_path)).endswith("epoch_2")
     prune_checkpoints(str(tmp_path), keep_last=1)
     assert newer.is_dir() and not older.is_dir()
+
+
+def test_native_loader_resume_equals_straight_run(synth_env, tmp_path):
+    """Native-path (C++ loader) resume must be bit-exact: 6 steps + resume
+    to 12 ends in the SAME state as 12 straight steps. The loader now
+    delivers batch i as a pure function of (seed, i) in index order
+    (cpp OrderedPrefetcher), and the trainer replays the task-selection
+    stream to hand each loader its consumed-batch offset — so a resumed
+    run draws exactly the data the straight run drew. No
+    overfit_first_batch: this exercises the real streaming data path."""
+    import shutil as _shutil
+
+    if _shutil.which("g++") is None:
+        pytest.skip("no C++ compiler")
+    import orbax.checkpoint as ocp
+
+    root, data, cfg_path, split_path, domain = synth_env
+    from hma_tpu.train.trainer import TrainArgs, run_training
+
+    def train(out, steps, resume=None):
+        args = TrainArgs(
+            genie_config=str(cfg_path), output_dir=str(out),
+            train_split=str(split_path), data_root=str(data),
+            model_type="discrete", window_size=4,
+            per_device_train_batch_size=4, learning_rate=3e-3,
+            max_train_steps=steps, eval_every_n_steps=1000,
+            max_eval_steps=1, checkpointing_steps="6",
+            num_warmup_steps=2, log_every=100, use_native_loader=True,
+            resume_from_checkpoint=resume)
+        run_training(args)
+
+    straight, resumed = tmp_path / "nl_straight", tmp_path / "nl_resumed"
+    train(straight, 12)
+    train(resumed, 12, resume=str(straight / "step_6"))
+
+    ckptr = ocp.StandardCheckpointer()
+    a = ckptr.restore((straight / "step_12" / "state").absolute())
+    b = ckptr.restore((resumed / "step_12" / "state").absolute())
+    import jax as _jax
+    flat_a = _jax.tree_util.tree_flatten_with_path(a)[0]
+    flat_b = _jax.tree_util.tree_flatten_with_path(b)[0]
+    assert len(flat_a) == len(flat_b)
+    for (path_a, xa), (_, xb) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb),
+                                      err_msg=str(path_a))

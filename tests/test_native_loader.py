@@ -181,3 +181,72 @@ def test_native_feature_loader_throughput(feature_dataset_dir):
     dt = time.time() - t0
     loader.close()
     assert dt / n < 0.1, f"{dt / n * 1e3:.1f} ms/batch"
+
+
+def _batches_equal(a: dict, b: dict) -> bool:
+    return (set(a) == set(b)
+            and all(np.array_equal(a[k], b[k]) for k in a))
+
+
+def test_native_loader_deterministic_across_threads(dataset_dir):
+    """Batch i is a pure function of (seed, i): the delivered sequence is
+    identical regardless of worker-thread count (OrderedPrefetcher —
+    the torch DataLoader's sampler-order contract, which the old
+    free-for-all bounded queue did not give)."""
+    from hma_tpu.data.native_loader import NativeTokenLoader
+
+    d, *_ = dataset_dir
+    cfg = make_config()
+    mk = lambda nt: NativeTokenLoader(str(d), cfg, batch_size=4, stride=1,
+                                      seed=7, num_threads=nt, queue_depth=3)
+    a, b = mk(1), mk(4)
+    for _ in range(12):
+        assert _batches_equal(a.next_batch(), b.next_batch())
+    a.close(), b.close()
+
+    # different seed -> different stream (the check has teeth)
+    c = NativeTokenLoader(str(d), cfg, batch_size=4, stride=1, seed=8)
+    assert not _batches_equal(mk(1).next_batch(), c.next_batch())
+    c.close()
+
+
+def test_native_loader_start_batch_resumes_sequence(dataset_dir):
+    """start_batch=k yields exactly batches k, k+1, ... of a fresh run —
+    the loader half of bit-exact native-path training resume
+    (trainer.py replays the task stream to compute each loader's k)."""
+    from hma_tpu.data.native_loader import NativeTokenLoader
+
+    d, *_ = dataset_dir
+    cfg = make_config()
+    full = NativeTokenLoader(str(d), cfg, batch_size=4, stride=1, seed=11,
+                             num_threads=2)
+    ref = [full.next_batch() for _ in range(9)]
+    full.close()
+    resumed = NativeTokenLoader(str(d), cfg, batch_size=4, stride=1, seed=11,
+                                num_threads=3, start_batch=5)
+    for k in range(5, 9):
+        assert _batches_equal(ref[k], resumed.next_batch()), k
+    resumed.close()
+
+
+def test_native_feature_loader_deterministic_and_resumable(feature_dataset_dir):
+    """Same two contracts for the continuous (STMAR fp16 latent) loader."""
+    from hma_tpu.data.native_loader import NativeFeatureLoader
+
+    d, *_ = feature_dataset_dir
+    cfg = make_config()
+    a = NativeFeatureLoader(str(d), cfg, batch_size=4, stride=1, seed=5,
+                            num_threads=1)
+    b = NativeFeatureLoader(str(d), cfg, batch_size=4, stride=1, seed=5,
+                            num_threads=4)
+    ref = []
+    for _ in range(8):
+        x = a.next_batch()
+        ref.append(x)
+        assert _batches_equal(x, b.next_batch())
+    a.close(), b.close()
+    r = NativeFeatureLoader(str(d), cfg, batch_size=4, stride=1, seed=5,
+                            num_threads=2, start_batch=6)
+    assert _batches_equal(ref[6], r.next_batch())
+    assert _batches_equal(ref[7], r.next_batch())
+    r.close()
