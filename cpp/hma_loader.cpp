@@ -15,7 +15,9 @@
 // results are returned in sampler order, hma/train_multi.py:948). This
 // makes native-loader training runs reproducible and makes resume
 // exact: a loader created with start_index=k yields exactly batches
-// k, k+1, ... of a fresh run's sequence.
+// k, k+1, ... of a fresh run's sequence. All random draws use fixed
+// algorithms (uni01/bounded below), never std::uniform_*_distribution,
+// so the stream survives compiler/stdlib upgrades between rebuilds.
 //
 // C ABI (used via ctypes from hma_tpu/data/native_loader.py):
 //   hma_loader_create(...)        -> opaque handle
@@ -65,6 +67,29 @@ struct Batch {
   std::vector<int32_t> labels;     // B * T * S
   std::vector<float> actions;      // B * T * action_width (may be empty)
 };
+
+// Toolchain-stable draws. std::uniform_{int,real}_distribution algorithms
+// are implementation-defined, so the (seed, i) stream — and with it the
+// bit-exact resume contract — would silently change across stdlib
+// versions when libhma_loader.so is rebuilt. These fixed forms pin the
+// stream to the mt19937_64 output alone.
+inline double uni01(std::mt19937_64& rng) {
+  // 53-bit mantissa uniform in [0, 1)
+  return (double)(rng() >> 11) * (1.0 / 9007199254740992.0);
+}
+inline uint64_t bounded(std::mt19937_64& rng, uint64_t n) {
+  // Lemire's nearly-divisionless unbiased bounded draw in [0, n)
+  unsigned __int128 m = (unsigned __int128)rng() * n;
+  uint64_t lo = (uint64_t)m;
+  if (lo < n) {
+    uint64_t t = (0 - n) % n;
+    while (lo < t) {
+      m = (unsigned __int128)rng() * n;
+      lo = (uint64_t)m;
+    }
+  }
+  return (uint64_t)(m >> 64);
+}
 
 // fp16 -> fp32 (portable bit-twiddle; the latent files are float16)
 inline float half_to_float(uint16_t h) {
@@ -252,9 +277,10 @@ class Loader {
   void collate(std::mt19937_64& rng, Batch* out) {
     const int T = cfg_.window_size, S = cfg_.h * cfg_.w, B = cfg_.batch_size;
     const int nv = cfg_.num_factored_vocabs, fv = cfg_.factored_vocab_size;
-    std::uniform_real_distribution<double> uni(0.0, 1.0);
-    std::uniform_int_distribution<int64_t> pick(0, (int64_t)valid_starts_.size() - 1);
-    std::uniform_int_distribution<int> rand_tok(0, fv - 1);
+    const uint64_t n_starts = (uint64_t)valid_starts_.size();
+    auto uni = [](std::mt19937_64& r) { return uni01(r); };
+    auto pick = [&](std::mt19937_64& r) { return (int64_t)bounded(r, n_starts); };
+    auto rand_tok = [&](std::mt19937_64& r) { return (int32_t)bounded(r, (uint64_t)fv); };
 
     out->input_ids.resize((size_t)B * T * S);
     out->labels.resize((size_t)B * T * S);
@@ -299,8 +325,7 @@ class Loader {
     int first_masked_frame = 1;
     if (uni(rng) < cfg_.non_mlm_ratio) {
       int lo = std::min(cfg_.num_prompt_frames, T - 1);
-      std::uniform_int_distribution<int> fr(lo, T - 1);
-      first_masked_frame = fr(rng);
+      first_masked_frame = lo + (int)bounded(rng, (uint64_t)(T - lo));
       double correct = cfg_.mask_ratio_min +
                        uni(rng) * (1.0 - cfg_.mask_ratio_min);
       for (int t = first_masked_frame; t < T; ++t) {
@@ -421,8 +446,9 @@ class FeatureLoader {
   void collate(std::mt19937_64& rng, FeatureBatch* out) {
     const int T = cfg_.window_size, H = cfg_.h, W = cfg_.w, C = cfg_.c;
     const int B = cfg_.batch_size, S = H * W;
-    std::uniform_real_distribution<double> uni(0.0, 1.0);
-    std::uniform_int_distribution<int64_t> pick(0, (int64_t)valid_starts_.size() - 1);
+    const uint64_t n_starts = (uint64_t)valid_starts_.size();
+    auto uni = [](std::mt19937_64& r) { return uni01(r); };
+    auto pick = [&](std::mt19937_64& r) { return (int64_t)bounded(r, n_starts); };
     const float scale = (float)cfg_.scale;
 
     out->latents.resize((size_t)B * T * S * C);
@@ -461,8 +487,7 @@ class FeatureLoader {
     int first_masked_frame = 1;
     if (uni(rng) < cfg_.non_mlm_ratio) {
       int lo = std::min(cfg_.num_prompt_frames, T - 1);
-      std::uniform_int_distribution<int> fr(lo, T - 1);
-      first_masked_frame = fr(rng);
+      first_masked_frame = lo + (int)bounded(rng, (uint64_t)(T - lo));
     }
     bool any = false;
     while (!any) {

@@ -39,11 +39,22 @@ def _epic_kitchen(shard_ind: int, num_shards: int):
     return epic_kitchen_episode_generator(shard_ind, num_shards)
 
 
+def _toyworld(shard_ind: int, num_shards: int, split: str = "train",
+              image_size: int = 64):
+    from hma_tpu.data.extern.toyworld import toyworld_episode_generator
+
+    return toyworld_episode_generator(shard_ind, num_shards, split=split,
+                                      image_size=image_size)
+
+
 DATASET_TO_GEN_AND_SIZE: dict[str, tuple[Callable, int]] = {
     "ego4d": (_ego4d, 1000),
     "exoego4d": (_egoexo4d, 1000),
     "robomimic": (_robomimic, 200),
     "epic_kitchen": (_epic_kitchen, 700),  # unregistered in the reference
+    # procedural action-conditioned world (no external data; the
+    # dynamics-generalization probe — see extern/toyworld.py)
+    "toyworld": (_toyworld, 480),
 }
 
 
@@ -59,9 +70,18 @@ def main(argv=None):
     p.add_argument("--encoder_name_or_path", type=str, default="data/magvit2.ckpt")
     p.add_argument("--out_root", type=str, default="data")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--image_size", type=int, default=256,
+                   help="frame resize target (reference hardcodes 256; "
+                        "the toyworld probe runs at 64)")
     args = p.parse_args(argv)
 
     gen_factory, _ = DATASET_TO_GEN_AND_SIZE[args.dataset_name]
+    if args.dataset_name == "toyworld":
+        episodes = gen_factory(args.shard_ind, args.num_shards,
+                               split=args.data_split,
+                               image_size=args.image_size)
+    else:
+        episodes = gen_factory(args.shard_ind, args.num_shards)
     encode_batch = None
     suffix = "raw"
     if args.encoder_type == "magvit":
@@ -74,8 +94,9 @@ def main(argv=None):
 
     out_dir = (f"{args.out_root}/{args.dataset_name}_{suffix}"
                f"_shard{args.shard_ind}_of_{args.num_shards}_{args.data_split}")
-    meta = encode_episodes(gen_factory(args.shard_ind, args.num_shards),
-                           out_dir, args.dataset_name, encode_batch=encode_batch)
+    meta = encode_episodes(episodes, out_dir, args.dataset_name,
+                           encode_batch=encode_batch,
+                           image_size=args.image_size)
     print(json.dumps(meta))
 
 

@@ -92,6 +92,8 @@ def make_magvit_encoder(tokenizer_params: dict, config=None,
             out.append(idx[:batch_size - pad])
         return np.concatenate(out).astype(np.uint32)
 
+    # LFQ vocab = 2^z_channels; encode_episodes records it in metadata
+    encode_batch.vocab_size = 2 ** (config or VQConfig()).z_channels
     return encode_batch
 
 
@@ -182,7 +184,8 @@ def encode_episodes(episodes: Iterable[dict], out_dir: str, name: str, *,
             extra = {"token_dtype": str(video.dtype),
                      "latent_channels": int(video.shape[1])}
         else:                # (N, h, w) discrete tokens
-            extra = {"vocab_size": 2**18, "token_dtype": "uint32"}
+            extra = {"vocab_size": getattr(encode_batch, "vocab_size", 2**18),
+                     "token_dtype": "uint32"}
     else:
         video = frames  # raw uint8 images
         extra = {"token_dtype": "uint8"}

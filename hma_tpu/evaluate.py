@@ -219,7 +219,8 @@ def _eval_loop(args, mesh, model, params, config, dataset, domain_id,
     token_metrics = {k: AvgMetric() for k in
                      ["loss", "perplexity", "acc", "gen_time"]}
     host_metrics = {k: AvgMetric() for k in
-                    ["dec_time", "psnr", "ssim", "delta_psnr"]}
+                    ["dec_time", "psnr", "ssim", "delta_psnr",
+                     "psnr_copy_prev", "psnr_vs_copy"]}
     key = jax.random.PRNGKey(args.seed)
 
     total = round_batch(min(args.max_examples, len(dataset)), mesh)
@@ -297,6 +298,19 @@ def _eval_loop(args, mesh, model, params, config, dataset, domain_id,
             host_metrics["psnr"].update(gt_psnr, nloc)
             host_metrics["ssim"].update(
                 float(np.mean(batch_ssim(pred_px, gt_px))), nloc)
+
+            # no-dynamics baseline: predict frame t as frame t-1 (the
+            # strongest trivial world model). A learned model must beat
+            # this margin for the dynamics claim to mean anything.
+            if raw_frames is not None:
+                copy_px = np.clip(raw_frames[:, :-1], 0, 255).astype(
+                    np.uint8).reshape(-1, *raw_frames.shape[2:])
+            else:
+                copy_px = decode(
+                    local_rows(tokens)[:, :-1].reshape(-1, config.h, config.w))
+            copy_psnr = float(np.mean(batch_psnr(copy_px, gt_px)))
+            host_metrics["psnr_copy_prev"].update(copy_psnr, nloc)
+            host_metrics["psnr_vs_copy"].update(gt_psnr - copy_psnr, nloc)
 
             if actions is not None and args.num_action_trials > 0:
                 rand_psnrs = []

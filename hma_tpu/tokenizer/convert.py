@@ -115,12 +115,18 @@ def torch_state_dict_to_flax(state_dict: Dict[str, np.ndarray],
 
 
 def load_magvit2(ckpt_path: str, use_ema: bool = True):
-    """Load a torch MagVit2 checkpoint plus its architecture config.
+    """Load a MagVit2 checkpoint plus its architecture config.
 
-    Returns (flax_params, VQConfig). The config is discovered from a
-    sidecar JSON — `<ckpt_path>.json` or `vq_config.json` next to the
-    checkpoint (written by `VQConfig.save_pretrained`) — and falls back
-    to the default `VQConfig()`, which is the architecture of the
+    Accepts either the reference's torch `.ckpt` file OR a directory
+    written by `hma_tpu.train_tokenizer` (orbax state + `vq_config.json`
+    sidecar) — the same loader serves imported and natively-trained
+    tokenizers, so `evaluate.py --tokenizer_ckpt` and the encode CLIs
+    work with both.
+
+    Returns (flax_params, VQConfig). For torch files the config comes
+    from a sidecar JSON — `<ckpt_path>.json` or `vq_config.json` next to
+    the checkpoint (written by `VQConfig.save_pretrained`) — and falls
+    back to the default `VQConfig()`, which is the architecture of the
     released magvit2.ckpt (reference: external/magvit2/config.py:10-44).
     Fixture checkpoints with non-default shapes ship the sidecar.
     """
@@ -128,6 +134,8 @@ def load_magvit2(ckpt_path: str, use_ema: bool = True):
 
     from hma_tpu.tokenizer.magvit2 import VQConfig
 
+    if os.path.isdir(ckpt_path):
+        return load_magvit2_native(ckpt_path, use_ema=use_ema)
     params = load_magvit2_checkpoint(ckpt_path, use_ema=use_ema)
     for cand in (ckpt_path + ".json",
                  os.path.join(os.path.dirname(os.path.abspath(ckpt_path)),
@@ -135,6 +143,49 @@ def load_magvit2(ckpt_path: str, use_ema: bool = True):
         if os.path.exists(cand):
             return params, VQConfig.from_pretrained(cand)
     return params, VQConfig()
+
+
+def load_magvit2_native(ckpt_dir: str, use_ema: bool = True):
+    """Load an hma_tpu-trained tokenizer checkpoint directory.
+
+    `ckpt_dir` is either a tagged checkpoint (contains `state/`) or a
+    train_tokenizer output dir (the newest step / `final_checkpt` tag is
+    picked). The saved tree is {"gen": params, "ema": shadow_params};
+    EMA weights are preferred, mirroring the reference's `ema_scope()`
+    inference convention (external/magvit2/models/lfqgan.py:63-76).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from hma_tpu.tokenizer.magvit2 import VQConfig, VQModel
+    from hma_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
+
+    tagged = ckpt_dir
+    if not os.path.isdir(os.path.join(ckpt_dir, "state")):
+        found = latest_checkpoint(ckpt_dir)
+        if found is None:
+            raise FileNotFoundError(
+                f"no orbax checkpoint under '{ckpt_dir}' (expected a "
+                "`state/` subdir or step_*/final_checkpt tags)")
+        tagged = found
+    cfg = None
+    for d in (tagged, os.path.dirname(os.path.abspath(tagged))):
+        cand = os.path.join(d, "vq_config.json")
+        if os.path.exists(cand):
+            cfg = VQConfig.from_pretrained(cand)
+            break
+    if cfg is None:
+        cfg = VQConfig()
+    model = VQModel(cfg)
+    tpl = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    tpl = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tpl)
+    tree = load_checkpoint(tagged, {"gen": tpl, "ema": tpl})
+    return (tree["ema"] if use_ema else tree["gen"]), cfg
 
 
 def load_magvit2_checkpoint(ckpt_path: str, use_ema: bool = True) -> dict:

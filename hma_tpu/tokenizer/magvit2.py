@@ -76,6 +76,16 @@ class VQConfig:
         return cfg
 
 
+def _groups(c: int) -> int:
+    """32 groups at production widths (>=128 ch, torch GroupNorm(32)
+    parity); the largest divisor <= 32 for small probe configs where 32
+    does not divide the channel count."""
+    g = min(32, c)
+    while c % g:
+        g -= 1
+    return g
+
+
 def swish(x):
     return x * jax.nn.sigmoid(x)
 
@@ -91,11 +101,11 @@ class ResBlock(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         in_filters = x.shape[-1]
         residual = x
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=_groups(x.shape[-1]), epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = swish(h).astype(self.dtype)
         h = nn.Conv(self.out_filters, (3, 3), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=_groups(h.shape[-1]), epsilon=1e-6, dtype=jnp.float32, name="norm2")(h)
         h = swish(h).astype(self.dtype)
         h = nn.Conv(self.out_filters, (3, 3), use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv2")(h)
@@ -135,7 +145,7 @@ class Encoder(nn.Module):
         for i_block in range(cfg.num_res_blocks):
             h = ResBlock(h.shape[-1], dtype=self.dtype,
                          name=f"mid_block_{i_block}")(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32, name="norm_out")(h)
+        h = nn.GroupNorm(num_groups=_groups(h.shape[-1]), epsilon=1e-6, dtype=jnp.float32, name="norm_out")(h)
         h = swish(h).astype(self.dtype)
         return nn.Conv(cfg.z_channels, (1, 1), dtype=self.dtype,
                        param_dtype=jnp.float32, name="conv_out")(h)
@@ -188,7 +198,7 @@ class Decoder(nn.Module):
             if i_level > 0:
                 h = Upsampler(h.shape[-1], dtype=self.dtype,
                               name=f"up_{i_level}_upsample")(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=jnp.float32, name="norm_out")(h)
+        h = nn.GroupNorm(num_groups=_groups(h.shape[-1]), epsilon=1e-6, dtype=jnp.float32, name="norm_out")(h)
         h = swish(h).astype(self.dtype)
         return nn.Conv(cfg.out_channels, (3, 3), dtype=self.dtype,
                        param_dtype=jnp.float32, name="conv_out")(h)

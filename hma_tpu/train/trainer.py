@@ -428,7 +428,10 @@ def run_training(args: TrainArgs) -> dict:
         # interrupted run consumed (one rng per epoch, one choice per
         # step — must mirror the live loop's one-at-a-time draws exactly)
         # and count how many batches each loader delivered. O(start_step)
-        # host-side draws, a few seconds per million resumed steps.
+        # host-side Generator.choice(p=...) draws at ~5-20 us each: ~10 s
+        # per million resumed steps, minutes at tens of millions — an
+        # accepted startup cost; batching the draws would change the
+        # stream and break bit-exactness with the live loop.
         start_counts = np.zeros(len(domains), np.int64)
         if start_step:
             task_dist = sampler.generate_tasks_distribution()
@@ -542,6 +545,12 @@ def run_training(args: TrainArgs) -> dict:
                 logger.log({"train/batch_error": str(e)[:200]}, step=step_i)
                 if multiproc:
                     raise  # a desynced skip would deadlock the collective
+                if native_loaders is not None:
+                    # the native path's bit-exact resume contract assumes
+                    # exactly one task-rng draw + one delivered batch per
+                    # step; a swallowed error here would silently desync
+                    # every future resume — fail loudly instead
+                    raise
                 continue
             if multiproc:
                 dev = make_global_batch(batch, put)

@@ -62,6 +62,12 @@ def main(argv=None):
     dataset = RawImageDataset(args.train_data_dir, window_size=1,
                               compute_stride_from_freq_table=False,
                               filter_interrupts=False)
+    # architecture sidecar so load_magvit2() can reconstruct the model
+    # from the output dir alone (convert.load_magvit2_native)
+    import os
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    config.save_pretrained(os.path.join(args.output_dir, "vq_config.json"))
     vq, disc, tx_g, tx_d, state = init_vq_train_state(
         config, jax.random.PRNGKey(args.seed), image_size=args.image_size,
         lr=args.learning_rate, warmup_steps=args.warmup_steps)

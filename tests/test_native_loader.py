@@ -206,8 +206,9 @@ def test_native_loader_deterministic_across_threads(dataset_dir):
 
     # different seed -> different stream (the check has teeth)
     c = NativeTokenLoader(str(d), cfg, batch_size=4, stride=1, seed=8)
-    assert not _batches_equal(mk(1).next_batch(), c.next_batch())
-    c.close()
+    e = mk(1)
+    assert not _batches_equal(e.next_batch(), c.next_batch())
+    e.close(), c.close()
 
 
 def test_native_loader_start_batch_resumes_sequence(dataset_dir):
