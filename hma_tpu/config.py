@@ -161,6 +161,14 @@ class DiffusionGenieConfig(GenieConfig):
     action_loss_weight: float = 1.0
     predict_unmask: bool = False
     maskgit_steps: int = 16
+    # "mar" (default): MAR-paper rollout — each patch sampled exactly
+    # once, when first revealed. "reference": bit-faithful emulation of
+    # the reference loop's selection semantics, which re-samples every
+    # still-scheduled position each step because its `unmasked` state is
+    # never updated (st_mar.py:376-411) — needed to isolate sampling-
+    # distribution fidelity when loading reference-trained weights.
+    # See rollout/mar.py mar_subset_schedule.
+    mar_sampling_compat: str = "mar"
 
     def shallow_copy(self):
         return dataclasses.replace(self)

@@ -32,13 +32,25 @@ import numpy as np
 from hma_tpu.models.st_mar import STMAR, patchify, unpatchify
 
 
-def mar_subset_schedule(seq_len: int, steps: int) -> tuple[list[int], list[int]]:
+def mar_subset_schedule(seq_len: int, steps: int,
+                        compat: str = "mar") -> tuple[list[int], list[int]]:
     """(starts, counts): step s samples order[starts[s] : starts[s]+counts[s]].
 
-    Mirrors the reference's count schedule (st_mar.py:391-399):
-    masked-after-step-s = clamp(floor(seq_len*cos(pi/2*(s+1)/steps)), 1, prev-1),
-    0 after the final step.
+    compat="mar" (default, MAR-paper semantics — each position sampled
+    exactly once, when first revealed): masked-after-step-s =
+    clamp(floor(seq_len*cos(pi/2*(s+1)/steps)), 1, prev-1), 0 after the
+    final step, and step s reveals order[nxt : prev].
+
+    compat="reference": bit-faithful emulation of the reference loop's
+    selection (st_mar.py:376-411), whose `unmasked` state is never
+    updated, so step s re-samples EVERY position past the schedule point
+    — order[nxt : seq_len] with nxt = clamp(floor(seq_len*cos(...)), 1,
+    seq_len-1) — and the final step re-samples all seq_len positions
+    (mask_to_pred = mask, st_mar.py:411). Strictly more diffusion work
+    (steps*S rows vs S), needed only to isolate sampling-distribution
+    fidelity against reference-trained weights.
     """
+    assert compat in ("mar", "reference"), compat
     starts, counts = [], []
     prev = seq_len
     for s in range(steps):
@@ -46,9 +58,10 @@ def mar_subset_schedule(seq_len: int, steps: int) -> tuple[list[int], list[int]]
             nxt = 0
         else:
             nxt = int(np.floor(seq_len * math.cos(math.pi / 2 * (s + 1) / steps)))
-            nxt = max(1, min(prev - 1, nxt))
+            hi = seq_len - 1 if compat == "reference" else prev - 1
+            nxt = max(1, min(hi, nxt))
         starts.append(nxt)
-        counts.append(prev - nxt)
+        counts.append((seq_len if compat == "reference" else prev) - nxt)
         prev = nxt
     return starts, counts
 
@@ -59,7 +72,8 @@ def generate_frame_mar(model: STMAR, params, t, k_cache, v_cache,
                        temperature: float = 1.0, cfg: float = 1.0,
                        batch_size: int,
                        initial_patches: Optional[jax.Array] = None,
-                       action_live: Optional[jax.Array] = None):
+                       action_live: Optional[jax.Array] = None,
+                       sampling_compat: Optional[str] = None):
     """Decode one frame of patchified latents. Returns
     (patches (B, S_p, patch_dim), action_latent or None, k_cache, v_cache)
     with caches filled from the final frame.
@@ -81,7 +95,9 @@ def generate_frame_mar(model: STMAR, params, t, k_cache, v_cache,
     patch_dim = cfg_model.vae_embed_dim * cfg_model.patch_size**2
     B = batch_size
 
-    starts, counts = mar_subset_schedule(S, steps)
+    compat = (sampling_compat
+              or getattr(cfg_model, "mar_sampling_compat", "mar"))
+    starts, counts = mar_subset_schedule(S, steps, compat=compat)
     maxc = max(counts)
     # cfg_iter is constant under the reference's (never-updated) unmasked
     # state: 1 + (cfg-1)*S/S = cfg (st_mar.py:419-424).
@@ -218,6 +234,89 @@ def generate_latents(model: STMAR, params, prompt: jax.Array,
     out = out[:B0]  # cfg: the uncond half carries the same guided samples
     out = out.reshape(B0, T, H // p, W // p, pd)
     return unpatchify(out, p, C)
+
+
+def generate_latents_reference_algo(model: STMAR, params, prompt: jax.Array,
+                                    num_prompt_frames: int, action_ids,
+                                    domain_id, key, *,
+                                    maskgit_steps: Optional[int] = None,
+                                    temperature: float = 1.0):
+    """The reference's MAR generation algorithm ported 1:1: a FULL
+    T-frame trunk recompute per refinement step and the resample-every-
+    step selection (maskgit_generate, st_mar.py:357-454 — `unmasked` is
+    never updated, so step s re-samples every position past the schedule
+    point and the final step re-samples all of them).
+
+    Two roles: (a) the same-chip benchmark baseline for `detail.mar`
+    (the denominator the discrete family's `reference_algo_fps_same_chip`
+    already has), and (b) the semantic oracle for
+    `mar_sampling_compat="reference"` — this function and the KV-cached
+    compat path draw the SAME rng stream in the SAME row layout, so
+    tests/test_st_mar.py can require allclose equality between them
+    (cached-vs-naive, the test_rollout.py pattern).
+
+    No CFG path: the baseline measures the reference's default rollout
+    (cfg=1, hma/evaluate.py MAR usage); the reference's own cfg branch is
+    dead code (st_mar.py:417-439).
+    """
+    cfg_model = model.config
+    steps = maskgit_steps or cfg_model.maskgit_steps
+    B, T, H, W, C = prompt.shape
+    p = cfg_model.patch_size
+    patches = patchify(prompt, p)
+    S = patches.shape[2] * patches.shape[3]
+    pd = patches.shape[-1]
+    patches = patches.reshape(B, T, S, pd)
+
+    starts, counts = mar_subset_schedule(S, steps, compat="reference")
+    maxc = max(counts)
+    mask_row = jnp.tile(params["params"]["mask_token"][0, 0], (p ** 2,))
+
+    def frame_body(window, xs):
+        t, key = xs
+        key, k_order = jax.random.split(key)
+        order = jax.vmap(lambda k: jax.random.permutation(k, S))(
+            jax.random.split(k_order, B))
+        # frame t starts fully masked (the reference fills it with the
+        # mask token before refining, st_mar.py:304-310)
+        window = jax.lax.dynamic_update_slice_in_dim(
+            window, jnp.broadcast_to(mask_row, (B, 1, S, pd)).astype(window.dtype),
+            t, axis=1)
+
+        def step_body(carry, sxs):
+            window, key = carry
+            start, count = sxs
+            key, k_s = jax.random.split(key)
+            # FULL window recompute (the baseline's defining cost;
+            # reference st_mar.py:391-393)
+            z_all, _ = model.apply(params, window, action_ids, domain_id,
+                                   method=STMAR.compute_latents)
+            z = jnp.take(z_all, t, axis=1)  # (B, S, d)
+            idx = (start + jnp.arange(maxc)) % S
+            pos = jnp.take_along_axis(order, idx[None, :].repeat(B, 0), axis=1)
+            z_rows = jnp.take_along_axis(z, pos[..., None], axis=1).reshape(
+                B * maxc, -1)
+            sampled = model.apply(params, z_rows, k_s, temperature, 1.0, True,
+                                  method=STMAR.sample_tokens)
+            sampled = sampled.reshape(B, maxc, pd)
+            frame = jnp.take(window, t, axis=1).astype(jnp.float32)
+            valid = (jnp.arange(maxc) < count)[None, :, None]
+            cur = jnp.take_along_axis(frame, pos[..., None], axis=1)
+            new = jnp.where(valid, sampled, cur)
+            frame = jax.vmap(lambda f, q, n: f.at[q].set(n))(frame, pos, new)
+            window = jax.lax.dynamic_update_slice_in_dim(
+                window, frame.astype(window.dtype)[:, None], t, axis=1)
+            return (window, key), None
+
+        (window, _), _ = jax.lax.scan(
+            step_body, (window, key), (jnp.asarray(starts), jnp.asarray(counts)))
+        return window, None
+
+    ts = jnp.arange(num_prompt_frames, T)
+    keys = jax.random.split(key, T - num_prompt_frames)
+    window, _ = jax.lax.scan(frame_body, patches, (ts, keys))
+    window = window.reshape(B, T, H // p, W // p, pd)
+    return unpatchify(window, p, C)
 
 
 def teacher_forced_latents(model: STMAR, params, latents: jax.Array,

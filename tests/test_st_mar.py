@@ -186,6 +186,81 @@ def test_mar_subset_schedule():
     assert sorted(covered) == list(range(16))
 
 
+def test_mar_subset_schedule_reference_compat():
+    """compat='reference' must reproduce the reference loop's selection
+    math exactly (st_mar.py:376-411): per step, mask_to_pred =
+    order[nxt:] with nxt = clamp(floor(S*cos(pi/2*(s+1)/steps)), 1, S-1)
+    under a never-updated `unmasked` state, and the final step
+    re-predicts ALL positions. This numpy oracle emulates that loop
+    literally (boolean masks + xor), independent of our slice algebra."""
+    import math
+
+    for S, steps in [(16, 4), (64, 16), (16, 1), (7, 3)]:
+        starts, counts = mar_subset_schedule(S, steps, compat="reference")
+        unmasked = np.zeros(S, bool)  # init_mask; never updated (quirk)
+        order = np.arange(S)  # identity order; selection is order-algebraic
+        for s in range(steps):
+            mask_ratio = np.cos(math.pi / 2.0 * (s + 1) / steps)
+            mask_len = int(np.floor(S * mask_ratio))
+            mask_len = max(1, min(int((~unmasked).sum()) - 1, mask_len))
+            mask_next = np.zeros(S, bool)
+            mask_next[order[:mask_len]] = True  # mask_by_order
+            mask = ~unmasked
+            if s >= steps - 1:
+                to_pred = mask
+            else:
+                to_pred = np.logical_xor(mask, mask_next)
+            got = np.zeros(S, bool)
+            got[order[starts[s]:starts[s] + counts[s]]] = True
+            np.testing.assert_array_equal(got, to_pred, err_msg=f"{S},{steps},{s}")
+        # every position is predicted at least once, and the total work
+        # is strictly more than the MAR-mode schedule (the quirk's cost)
+        m_starts, m_counts = mar_subset_schedule(S, steps)
+        assert sum(counts) >= sum(m_counts)
+        assert counts[-1] == S  # final step resamples everything
+
+
+def test_mar_generation_reference_compat(setup):
+    """The compat rollout runs end-to-end and actually changes the
+    sampling distribution (re-sampled positions differ from the
+    sample-once path under the same key); with steps=1 the two modes'
+    schedules coincide exactly."""
+    cfg, model, params, lat, mask, actions, dom = setup
+    outs = {}
+    for compat in ("mar", "reference"):
+        cfg2 = tiny_config(mar_sampling_compat=compat)
+        model2 = STMAR(cfg2, dtype=jnp.float32)
+        outs[compat] = np.asarray(generate_latents(
+            model2, params, lat, 2, actions, dom, jax.random.PRNGKey(0),
+            maskgit_steps=4))
+        assert np.isfinite(outs[compat]).all()
+        np.testing.assert_allclose(outs[compat][:, :2],
+                                   np.asarray(lat[:, :2]), rtol=1e-6)
+    assert not np.allclose(outs["mar"][:, 2:], outs["reference"][:, 2:])
+    assert (mar_subset_schedule(16, 1, compat="reference")
+            == mar_subset_schedule(16, 1))
+
+
+def test_mar_reference_compat_cached_equals_naive_full_recompute(setup):
+    """The KV-cached compat='reference' rollout must equal the 1:1 port
+    of the reference algorithm (full T-frame recompute per refinement
+    step, resample-every-step) — the test_rollout.py cached==naive
+    pattern applied to the MAR family. Both paths draw the same rng
+    stream in the same row layout, so equality is to float tolerance."""
+    from hma_tpu.rollout.mar import generate_latents_reference_algo
+
+    cfg, model, params, lat, mask, actions, dom = setup
+    cfg2 = tiny_config(mar_sampling_compat="reference")
+    model2 = STMAR(cfg2, dtype=jnp.float32)
+    cached = np.asarray(generate_latents(
+        model2, params, lat, 2, actions, dom, jax.random.PRNGKey(3),
+        maskgit_steps=4))
+    naive = np.asarray(generate_latents_reference_algo(
+        model2, params, lat, 2, actions, dom, jax.random.PRNGKey(3),
+        maskgit_steps=4))
+    np.testing.assert_allclose(cached, naive, rtol=2e-4, atol=2e-4)
+
+
 def test_mar_generation(setup):
     cfg, model, params, lat, mask, actions, dom = setup
     out = generate_latents(model, params, lat, 2, actions, dom,
