@@ -38,11 +38,25 @@ import numpy as np
 # A healthy full run takes ~16 min (compile-cache cold) for the discrete
 # sections; the MAR sections add a few more compiles, the largest being
 # the 1B-class sliced-grad train step (~28 min cold, seconds when the
-# persistent cache at /tmp/hma_tpu_jax_cache is warm). The axon tunnel
-# can hard-hang (observed: an 8h outage where even jnp.ones never
-# returned and no exception was raised), which would stall the whole
-# round-end pipeline — fail loudly instead.
-WATCHDOG_SECS = int(os.environ.get("HMA_TPU_BENCH_TIMEOUT", 7200))
+# persistent cache at /tmp/hma_tpu_jax_cache is warm). Round 5 adds the
+# L0 tokenizer, decode-inclusive sim, MAR overfit and MAR reference-
+# baseline sections (each with fresh compiles), and the remote compile
+# service has been observed degraded (13 min for a trivial matmul,
+# 2026-08-20) — hence the larger default. The axon tunnel can also
+# hard-hang (observed: an 8h outage where even jnp.ones never returned
+# and no exception was raised), which would stall the whole round-end
+# pipeline — fail loudly instead.
+WATCHDOG_SECS = int(os.environ.get("HMA_TPU_BENCH_TIMEOUT", 10800))
+
+
+def _active_params(jax, params, stacked_mask, num_domains: int) -> int:
+    """Parameter count under the ACTIVE convention: full size for trunk
+    leaves, one domain row for (D, ...) stacked tables."""
+    tot = 0
+    for leaf, m in zip(jax.tree_util.tree_leaves(params),
+                       jax.tree_util.tree_leaves(stacked_mask)):
+        tot += leaf.size // num_domains if m else leaf.size
+    return tot
 
 
 def _watchdog():
@@ -103,6 +117,17 @@ def main():
         force(out)
         return (time.perf_counter() - t0) / iters
 
+    # compile-time ledger (VERDICT r4 #7: first-run compile cost is a
+    # real usability wall and was only recorded incidentally)
+    compile_s: dict = {}
+
+    def timed_compile(name, fn, *args):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        force(out)
+        compile_s[name] = round(time.perf_counter() - t0, 1)
+        return out
+
     # ---- training throughput first (fp32 master params): measured in a
     # clean allocator state — running it after the rollout section slows
     # the step 0.58 -> 0.65 s (HBM fragmentation from the inference
@@ -138,7 +163,8 @@ def main():
     train_step = jax.jit(make_train_step(train_model, tx), donate_argnums=(0,))
     state = TrainState(params, tx.init(params), jnp.asarray(0))
     params = None
-    state, _ = train_step(state, batch, jax.random.PRNGKey(0))  # compile
+    state, _ = timed_compile("discrete_train_step", train_step, state, batch,
+                             jax.random.PRNGKey(0))
 
     s, _m = train_step(state, batch, jax.random.PRNGKey(1))  # warmup
     force(s.params["params"]["pos_embed_TSC"])
@@ -149,7 +175,15 @@ def main():
     dt_train = (time.perf_counter() - t0) / 20
     tokens_per_step = B * cfg.T * cfg.S
     train_tokens_per_sec = tokens_per_step / dt_train
+    # Two FLOP conventions (ADVICE r3 #2 / VERDICT r4 #6):
+    #   - 6*N_total counts every domain's stacked table row (the
+    #     model-size convention the reference's tokens/s/param numbers
+    #     imply, hma/train_multi.py:1037-1038);
+    #   - 6*N_active counts the trunk + ONE domain row — the parameters
+    #     a step actually touches, i.e. real hardware work.
     train_tflops = 6 * n_params * tokens_per_step / dt_train / 1e12
+    n_active = _active_params(jax, s.params, stacked_mask, cfg.num_domains)
+    train_active_tflops = 6 * n_active * tokens_per_step / dt_train / 1e12
 
     # ---- overfit-one-batch convergence check on the SAME production
     # forward/backward (remat + Pallas kernels + sliced AdamW update):
@@ -211,7 +245,10 @@ def main():
                          maskgit_steps=maskgit_steps)
 
     key = jax.random.PRNGKey(0)
-    dt = timed(run, params, tokens, actions, domain_id, key, iters=20)
+    timed_compile("discrete_rollout", run, params, tokens, actions,
+                  domain_id, key)
+    dt = timed(run, params, tokens, actions, domain_id, key, iters=20,
+               warmup=1)
     fps = B * gen_frames / dt
 
     # Reference algorithm on the same chip: full-stack forward per step
@@ -241,8 +278,27 @@ def main():
         cur, _ = jax.lax.scan(frame_body, cur, jnp.arange(num_prompt, cfg.T))
         return cur
 
+    timed_compile("discrete_reference_algo", reference_style, params, tokens,
+                  actions, domain_id, key)
     dt_ref = timed(reference_style, params, tokens, actions, domain_id, key, iters=5, warmup=1)
     fps_ref = B * gen_frames / dt_ref
+
+    # ---- L0 tokenizer + decode-inclusive interactive latency (VERDICT
+    # r4 #3: the reference's interactive loop pays a VQ decode per step,
+    # sim/simulator.py:296, and its eval reports dec_time per frame,
+    # evaluate.py:329-331; conv cost is weight-independent so random
+    # weights measure it). Runs on the SAME resident discrete params so
+    # the sim section reuses them; its own conv params are tiny.
+    tok_sec: dict = {}
+    sim_sec: dict = {}
+    try:
+        tok_sec, dec1 = _bench_tokenizer(jax, jnp, force, timed, timed_compile)
+        sim_sec = _bench_sim(jax, jnp, force, timed_compile, model, params,
+                             cfg, dec1)
+    except Exception:
+        tok_sec = tok_sec or {"error": traceback.format_exc(limit=1)}
+        if not sim_sec:
+            sim_sec = {"error": traceback.format_exc(limit=1)}
 
     # ---- d512 STMAR flagship (continuous family): train + rollout.
     # Last so its buffers can't fragment the headline sections above.
@@ -250,7 +306,7 @@ def main():
     jax.clear_caches()
     mar: dict = {}
     try:
-        mar = _bench_mar(jax, jnp, force, timed)
+        mar = _bench_mar(jax, jnp, force, timed, timed_compile)
     except Exception:
         mar = {"error": traceback.format_exc(limit=1)}
 
@@ -269,14 +325,103 @@ def main():
             "per_frame_latency_ms_b1_equiv": round(dt / gen_frames / B * 1000, 2),
             "train_tokens_per_sec": round(train_tokens_per_sec),
             "train_model_tflops_per_sec": round(train_tflops, 1),
+            "train_active_tflops_per_sec": round(train_active_tflops, 1),
+            "params_active_M": round(n_active / 1e6, 1),
             "overfit": overfit,
+            "tokenizer": tok_sec,
+            "sim": sim_sec,
             "mar": mar,
+            "compile_s": compile_s,
             "device": str(jax.devices()[0]),
         },
     }))
 
 
-def _bench_mar(jax, jnp, force, timed) -> dict:
+def _bench_tokenizer(jax, jnp, force, timed, timed_compile):
+    """L0 MagVit2 codec throughput/latency at the production 256² card
+    (VQConfig defaults = the released magvit2.ckpt architecture).
+    Random weights: conv FLOPs and memory traffic are weight-independent.
+    Returns (section dict, jitted batch-1 token decoder for the sim
+    section)."""
+    from hma_tpu.tokenizer.magvit2 import VQConfig, VQModel, unnormalize_image
+
+    out: dict = {}
+    cfg = VQConfig()
+    model = VQModel(cfg, dtype=jnp.bfloat16)
+    B = 8
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (B, 256, 256, 3)), jnp.float32)
+    # init via eval_shape + host randoms: avoids compiling init programs
+    # through the (slow) remote compile service
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), imgs[:1])
+    params = jax.tree.map(
+        lambda s: jnp.asarray(rng.normal(0, 0.02, s.shape).astype(
+            np.dtype(s.dtype))), shapes)
+
+    enc = jax.jit(lambda p, im: model.apply(p, im, method=VQModel.encode).indices)
+    dec = jax.jit(lambda p, idx: unnormalize_image(
+        model.apply(p, idx, method=VQModel.decode_code)))
+    dec1 = jax.jit(lambda p, idx: unnormalize_image(
+        model.apply(p, idx, method=VQModel.decode_code)))
+
+    tok = timed_compile("tok_encode_b8", enc, params, imgs)
+    tok = tok.astype(jnp.int32)  # one dtype for every decode compile
+    dt_e = timed(enc, params, imgs, iters=10, warmup=1)
+    timed_compile("tok_decode_b8", dec, params, tok)
+    dt_d = timed(dec, params, tok, iters=10, warmup=1)
+    timed_compile("tok_decode_b1", dec1, params, tok[:1])
+    dt_d1 = timed(dec1, params, tok[:1], iters=10, warmup=1)
+
+    out["encode_fps_256_b8"] = round(B / dt_e, 1)
+    out["decode_fps_256_b8"] = round(B / dt_d, 1)
+    out["dec_time_ms_b1"] = round(dt_d1 * 1000, 2)
+    out["params_M"] = round(sum(
+        x.size for x in jax.tree_util.tree_leaves(params)) / 1e6, 1)
+    return out, (dec1, params)
+
+
+def _bench_sim(jax, jnp, force, timed_compile, model, params, cfg, dec1):
+    """Decode-INCLUSIVE interactive latency: one GenieSimulator step =
+    the KV-window model dispatch + the 256² VQ decode the reference pays
+    per keypress (sim/simulator.py:296). Amortizes the ~31 ms tunnel
+    round-trip the way sim_probe._onchip_ms does: enqueue N (step,
+    decode) program pairs, sync once."""
+    from hma_tpu.sim.simulator import GenieSimulator
+
+    decode_fn, tok_params = dec1
+    out: dict = {}
+    rng = np.random.default_rng(0)
+    # token grid mismatch (sim card h=16 vs codec h=16: both 16² at 256²)
+    sim = GenieSimulator(model, params, prompt_horizon=3, maskgit_steps=2)
+    prompt = np.asarray(rng.integers(0, cfg.image_vocab_size,
+                                     (3, cfg.h, cfg.h)), np.uint32)
+    sim.set_initial_state(prompt, np.asarray(
+        rng.normal(size=(3, cfg.max_d_action)), np.float32))
+
+    window = jnp.asarray(sim._make_window())
+    actions = jnp.asarray(np.concatenate(
+        [sim._action_cache,
+         np.zeros((1, cfg.max_d_action), np.float32)])[None])
+    key = jax.random.PRNGKey(7)
+
+    frame = timed_compile("sim_step", sim._step_fn, sim.params, window,
+                          actions, key)
+    idx = frame.reshape(1, cfg.h, cfg.h).astype(jnp.int32)
+    force(decode_fn(tok_params, idx))  # decode warm (compiled in L0 at b1)
+
+    iters = 20
+    t0 = time.perf_counter()
+    px = None
+    for _ in range(iters):
+        f = sim._step_fn(sim.params, window, actions, key)
+        px = decode_fn(tok_params, f.reshape(1, cfg.h, cfg.h).astype(jnp.int32))
+    force(px)
+    out["p50_onchip_ms_with_decode"] = round(
+        (time.perf_counter() - t0) / iters * 1000, 2)
+    return out
+
+
+def _bench_mar(jax, jnp, force, timed, timed_compile) -> dict:
     """d512 STMAR: the FULL 40-domain 1B-class card (the reference's
     headline model) training on ONE 16 GB chip + the KV-cached MAR
     rollout (same card, bf16, 16 maskgit x 100 denoise, CFG off).
@@ -337,7 +482,8 @@ def _bench_mar(jax, jnp, force, timed) -> dict:
              "domain_id": dom, "masked_tokens_indicator": mask}
     state = TrainState(params, tx.init(params), jnp.asarray(0))
     params = None
-    state, _ = step(state, batch, jax.random.PRNGKey(0))  # compile
+    state, _ = timed_compile("mar_train_step_1b", step, state, batch,
+                             jax.random.PRNGKey(0))
     state, _m = step(state, batch, jax.random.PRNGKey(1))  # warm
     force(state.params["params"]["pos_embed_TSC"])
     t0 = time.perf_counter()
@@ -350,6 +496,13 @@ def _bench_mar(jax, jnp, force, timed) -> dict:
     out["train1b_s_per_step"] = round(dt, 4)
     out["train1b_params_M_dom40"] = round(n_params / 1e6, 1)
     out["train1b_model_tflops_per_sec"] = round(6 * n_params * toks / dt / 1e12, 1)
+    # active convention: trunk + one domain row (see the discrete
+    # section's note — both numbers are reported deliberately)
+    n_active = _active_params(jax, state.params, stacked_mask,
+                              cfg.num_domains)
+    out["train1b_active_tflops_per_sec"] = round(
+        6 * n_active * toks / dt / 1e12, 1)
+    out["train1b_params_active_M"] = round(n_active / 1e6, 1)
     out["train1b_loss_finite"] = bool(jnp.isfinite(_m["loss"]))
     if hbm:
         out["train1b_peak_hbm_gib"] = round(hbm / 2**30, 2)
@@ -369,14 +522,52 @@ def _bench_mar(jax, jnp, force, timed) -> dict:
     num_prompt = 2
     run = make_mar_generator(model, num_prompt_frames=num_prompt,
                              maskgit_steps=cfg.maskgit_steps)
+    timed_compile("mar_rollout", run, params, lat, actions, dom,
+                  jax.random.PRNGKey(0))
     dt = timed(run, params, lat, actions, dom, jax.random.PRNGKey(0),
-               iters=4, warmup=1)
+               iters=4, warmup=0)
     gen_frames = cfg.T - num_prompt
     out["rollout_params_M"] = round(n_params / 1e6, 1)
     out["rollout_s_per_window"] = round(dt, 4)
     out["rollout_frames_per_sec"] = round(B * gen_frames / dt, 2)
     out["rollout_maskgit_steps"] = cfg.maskgit_steps
     out["rollout_diffusion_steps"] = cfg.num_sampling_steps
+
+    # Reference MAR algorithm on the same chip (VERDICT r4 #4a): full
+    # T-frame recompute per refinement step + resample-every-step
+    # selection, ported 1:1 (rollout/mar.generate_latents_reference_algo)
+    # — the denominator rollout_frames_per_sec was missing.
+    try:
+        from hma_tpu.rollout.mar import generate_latents_reference_algo
+
+        ref_run = jax.jit(lambda p, l, a, d, k: generate_latents_reference_algo(
+            model, p, l, num_prompt, a, d, k,
+            maskgit_steps=cfg.maskgit_steps))
+        timed_compile("mar_reference_algo", ref_run, params, lat, actions,
+                      dom, jax.random.PRNGKey(0))
+        dt_ref = timed(ref_run, params, lat, actions, dom,
+                       jax.random.PRNGKey(0), iters=2, warmup=0)
+        out["reference_algo_s_per_window"] = round(dt_ref, 4)
+        out["reference_algo_fps_same_chip"] = round(B * gen_frames / dt_ref, 2)
+        out["vs_reference_algo"] = round(dt_ref / dt, 2)
+        del ref_run
+    except Exception:
+        out["reference_algo_error"] = traceback.format_exc(limit=1)
+
+    # MAR overfit-one-batch convergence (VERDICT r4 #2): the continuous
+    # family's learn-proof, same machinery as the standalone
+    # experiments/mar_overfit_probe.py (d512 8-domain card — the probe's
+    # shapes, so its compile-cache entries serve this section).
+    del params, run, model
+    jax.clear_caches()
+    try:
+        from mar_overfit_probe import run_overfit
+
+        cap = int(os.environ.get("HMA_TPU_BENCH_MAR_OVERFIT_STEPS", 1200))
+        out["overfit"] = run_overfit(max_steps=cap, log_every=100,
+                                     skip_rollout_check=True)
+    except Exception:
+        out["overfit"] = {"error": traceback.format_exc(limit=1)}
     return out
 
 

@@ -50,20 +50,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--lr", type=float, default=3e-4)
-    ap.add_argument("--wd", type=float, default=0.0)
-    ap.add_argument("--max-steps", type=int, default=3000)
-    ap.add_argument("--target-loss", type=float, default=0.05)
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--log-every", type=int, default=50)
-    ap.add_argument("--num-domains", type=int, default=8)
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "artifacts",
-        "mar_overfit_r4.json"))
-    args = ap.parse_args()
-
+def run_overfit(lr: float = 3e-4, wd: float = 0.0, max_steps: int = 3000,
+                target_loss: float = 0.05, batch: int = 8,
+                log_every: int = 50, num_domains: int = 8,
+                skip_rollout_check: bool = False) -> dict:
+    """The probe body, importable by bench.py (its `detail.mar.overfit`
+    section) with identical shapes/HLO so compile-cache entries are
+    shared. skip_rollout_check drops the rollout-reproduces-the-batch
+    stage (one extra large compile) for the bench context."""
     import jax
     import jax.numpy as jnp
 
@@ -77,9 +71,9 @@ def main():
     from hma_tpu.train.step import (TrainState, make_eval_step,
                                     make_optimizer, make_train_step)
 
-    cfg = _config(args.num_domains)
+    cfg = _config(num_domains)
     model = STMAR(cfg, remat=False)
-    B = args.batch
+    B = batch
     lat, mask0, actions, dom = _data(cfg, B)
     n_tail = cfg.T - 1
 
@@ -87,8 +81,7 @@ def main():
         {"params": jax.random.PRNGKey(0), "diffusion": jax.random.PRNGKey(1),
          "action_drop": jax.random.PRNGKey(2)}, lat, lat, actions, dom, mask0)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    tx = make_optimizer(args.lr, weight_decay=args.wd,
-                        params_template=params)
+    tx = make_optimizer(lr, weight_decay=wd, params_template=params)
     inner_step = make_train_step(model, tx, continuous=True)
     eval_step = jax.jit(make_eval_step(model, continuous=True))
 
@@ -133,10 +126,10 @@ def main():
     # the train-step guard now skips them — this tracks how often).
     skip_acc = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
-    for i in range(2, args.max_steps + 1):
+    for i in range(2, max_steps + 1):
         state, m = step(state, jax.random.PRNGKey(i))
         skip_acc = skip_acc + m["skipped"]
-        if i % args.log_every == 0 or i == args.max_steps:
+        if i % log_every == 0 or i == max_steps:
             em = eval_step(state.params, eval_batch, eval_key)
             tr, ev = float(m["loss"]), float(em["loss"])
             act = float(em.get("action_loss", jnp.nan))
@@ -150,10 +143,30 @@ def main():
                   f" gnorm={gn:.3f} skipped={int(sk)}"
                   f" ({time.perf_counter()-t0:.0f}s)", flush=True)
             final_train, final_eval, steps_done = tr, ev, i
-            if ev < args.target_loss:
+            if ev < target_loss:
                 break
     train_s = time.perf_counter() - t0
     total_skipped = int(float(skip_acc))
+
+    rec = {
+        "probe": "mar_overfit_one_batch_d512",
+        "params_M": round(n_params / 1e6, 1),
+        "lr": lr,
+        "weight_decay": wd,
+        "batch": B,
+        "steps": steps_done,
+        "init_eval_loss": round(init_eval, 4),
+        "final_train_loss": final_train,
+        "final_eval_loss": final_eval,
+        "steps_skipped_by_nan_guard": total_skipped,
+        "converged": bool(final_eval is not None
+                          and final_eval < target_loss),
+        "compile_s": round(compile_s, 1),
+        "train_s": round(train_s, 1),
+        "curve": curve,
+    }
+    if skip_rollout_check:
+        return rec
 
     # --- rollout check: reproduce the training latents from a 2-frame
     # prompt, production inference numerics (bf16 params).
@@ -174,26 +187,29 @@ def main():
     rel = rollout_rel_mse(state.params)
     print(f"rollout latent MSE / var: overfit {rel:.4f} vs fresh-init "
           f"{rel_fresh:.4f}", flush=True)
+    rec["rollout_rel_mse"] = round(rel, 4)
+    rec["rollout_rel_mse_fresh_init"] = round(rel_fresh, 4)
+    return rec
 
-    rec = {
-        "probe": "mar_overfit_one_batch_d512",
-        "params_M": round(n_params / 1e6, 1),
-        "lr": args.lr,
-        "weight_decay": args.wd,
-        "batch": B,
-        "steps": steps_done,
-        "init_eval_loss": round(init_eval, 4),
-        "final_train_loss": final_train,
-        "final_eval_loss": final_eval,
-        "rollout_rel_mse": round(rel, 4),
-        "rollout_rel_mse_fresh_init": round(rel_fresh, 4),
-        "steps_skipped_by_nan_guard": total_skipped,
-        "converged": bool(final_eval is not None
-                          and final_eval < args.target_loss),
-        "compile_s": round(compile_s, 1),
-        "train_s": round(train_s, 1),
-        "curve": curve,
-    }
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--wd", type=float, default=0.0)
+    ap.add_argument("--max-steps", type=int, default=3000)
+    ap.add_argument("--target-loss", type=float, default=0.05)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--num-domains", type=int, default=8)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts",
+        "mar_overfit_r5.json"))
+    args = ap.parse_args()
+
+    rec = run_overfit(lr=args.lr, wd=args.wd, max_steps=args.max_steps,
+                      target_loss=args.target_loss, batch=args.batch,
+                      log_every=args.log_every,
+                      num_domains=args.num_domains)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)

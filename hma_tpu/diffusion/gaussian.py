@@ -155,10 +155,23 @@ def predict_x0_from_eps(sched, xt, t, eps):
 
 def learned_range_log_variance(sched, t, v, ndim):
     """Interpolate log-variance between posterior (min) and beta (max)
-    from the model's raw v output (reference: gaussian_diffusion.py:306-315)."""
+    from the model's raw v output (reference: gaussian_diffusion.py:306-315).
+
+    frac is clamped to the [0, 1] domain the interpolation is defined
+    on. The reference leaves it unbounded and merely *assumes* v stays
+    in [-1, 1]; at scale that assumption fails — the d512 STMAR overfit
+    run (2026-08-20, mar_overfit log) drifted v past the boundary around
+    step 225, model_logvar left [min_log, max_log], and every backward
+    overflowed through the VB exp()s from then on (grad_norm=inf), so
+    the NaN-guard skipped 100% of subsequent steps and training froze at
+    eval 0.60. Clamping bounds every downstream exp(); an out-of-range
+    variance head saturates at the boundary (which IS the optimum the
+    drift overshot) instead of killing the run. Forward-identical to the
+    reference whenever v is in range — the only regime its own training
+    survives."""
     min_log = _extract(sched.posterior_log_variance_clipped, t, ndim)
     max_log = _extract(np.log(np.maximum(sched.betas, 1e-20)), t, ndim)
-    frac = (v.astype(jnp.float32) + 1) / 2
+    frac = jnp.clip((v.astype(jnp.float32) + 1) / 2, 0.0, 1.0)
     return frac * max_log + (1 - frac) * min_log
 
 

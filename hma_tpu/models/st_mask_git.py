@@ -68,6 +68,9 @@ class STMaskGIT(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False  # checkpoint each STBlock (training memory)
     remat_policy: str = "full"  # "full" | "dots" (see STTransformerDecoder)
+    # scan-over-layers trunk (training compile-time lever; see
+    # STTransformerDecoder.scan_layers + stack/unstack_layer_params)
+    scan_layers: bool = False
     temporal_layout: str = "transpose"  # "transpose" | "resident" (STBlock)
     # Declare domain-stacked PARAM tables with one row (sliced-gradient
     # training, train/step.py); see STMAR.single_domain_params.
@@ -91,7 +94,8 @@ class STMaskGIT(nn.Module):
             cross_attention_compat=getattr(cfg, "cross_attention_compat",
                                            "fixed"),
             temporal_layout=self.temporal_layout,
-            remat_policy=self.remat_policy, name="decoder")
+            remat_policy=self.remat_policy, scan_layers=self.scan_layers,
+            name="decoder")
         self.pos_embed_TSC = self.param(
             "pos_embed_TSC", nn.initializers.zeros,
             (1, cfg.T, cfg.S + cfg.action_token_size, cfg.d_model), jnp.float32)

@@ -264,6 +264,70 @@ class STBlock(nn.Module):
         return x_TC.reshape(B, S, F, C).transpose(0, 2, 1, 3), k_w, v_w
 
 
+class _STScanBody(nn.Module):
+    """nn.scan body: one STBlock returning the (carry, ys) pair the scan
+    protocol wants. Field set mirrors STBlock (a dict attribute would
+    break flax's hashability requirement for lifted transforms)."""
+
+    num_heads: int
+    d_model: int
+    qkv_bias: bool = False
+    proj_bias: bool = True
+    qk_norm: bool = True
+    use_mup: bool = True
+    attn_drop: float = 0.0
+    mlp_ratio: float = 4.0
+    mlp_bias: bool = True
+    mlp_drop: float = 0.0
+    action_processing: str = "mlp"
+    num_domains: int = 0
+    dtype: jnp.dtype = jnp.bfloat16
+    cross_attention_compat: str = "fixed"
+    temporal_layout: str = "transpose"
+
+    @nn.compact
+    def __call__(self, x_TSC, action_emb, domain_id, deterministic):
+        x_TSC = STBlock(
+            num_heads=self.num_heads, d_model=self.d_model,
+            qkv_bias=self.qkv_bias, proj_bias=self.proj_bias,
+            qk_norm=self.qk_norm, use_mup=self.use_mup,
+            attn_drop=self.attn_drop, mlp_ratio=self.mlp_ratio,
+            mlp_bias=self.mlp_bias, mlp_drop=self.mlp_drop,
+            action_processing=self.action_processing,
+            num_domains=self.num_domains, dtype=self.dtype,
+            cross_attention_compat=self.cross_attention_compat,
+            temporal_layout=self.temporal_layout,
+            name="block")(x_TSC, action_emb, domain_id, deterministic)
+        return x_TSC, None
+
+
+def stack_layer_params(dec_params: dict, num_layers: int) -> dict:
+    """Loop layout {'layers_i': {...}} -> scan layout
+    {'layers_scan': {'block': stacked (L, ...)}} (same decoder weights,
+    scan-over-layers trunk). Inverse: unstack_layer_params."""
+    import numpy as _np
+
+    layers = [dec_params[f"layers_{i}"] for i in range(num_layers)]
+    stacked = jax.tree.map(lambda *xs: _np.stack(
+        [_np.asarray(x) for x in xs]), *layers)
+    rest = {k: v for k, v in dec_params.items()
+            if not k.startswith("layers_")}
+    return {**rest, "layers_scan": {"block": stacked}}
+
+
+def unstack_layer_params(dec_params: dict, num_layers: int) -> dict:
+    """Inverse of stack_layer_params."""
+    import numpy as _np
+
+    stacked = dec_params["layers_scan"]["block"]
+    rest = {k: v for k, v in dec_params.items() if k != "layers_scan"}
+    out = dict(rest)
+    for i in range(num_layers):
+        out[f"layers_{i}"] = jax.tree.map(
+            lambda x, i=i: _np.asarray(x)[i], stacked)
+    return out
+
+
 class STTransformerDecoder(nn.Module):
     """Stack of STBlocks (reference: st_transformer.py:117-177)."""
 
@@ -295,16 +359,49 @@ class STTransformerDecoder(nn.Module):
     # enough to recompute), so "full" stays the default; see
     # experiments/mfu_probe.py.
     remat_policy: str = "full"
+    # scan-over-layers: collapse the L-block trunk into ONE lax.scan so
+    # the HLO carries a single block body instead of L inlined copies —
+    # a compile-time lever for the 32-block cards (VERDICT r4 #7; the
+    # 1.5B card compiles in ~28 min inlined). Params stack to (L, ...)
+    # under 'layers_scan/block'; convert checkpoints with
+    # stack_layer_params/unstack_layer_params. Training path only: the
+    # cached decode paths (frame_step/window_step) keep the loop layout,
+    # whose rollout programs are small enough that inlining is not the
+    # compile wall.
+    scan_layers: bool = False
 
     def setup(self):
         block = STBlock
+        policy = None
         if self.remat:
-            policy = None
             if self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             elif self.remat_policy == "attn":
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out")
+        if self.scan_layers:
+            body = _STScanBody
+            if self.remat:
+                # same static_argnums trap as below: `self` counts as 0,
+                # `deterministic` is positional 4
+                body = nn.remat(body, static_argnums=(4,), policy=policy)
+            self.layers_scan = nn.scan(
+                body, variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.num_layers,
+            )(num_heads=self.num_heads, d_model=self.d_model,
+              qkv_bias=self.qkv_bias, proj_bias=self.proj_bias,
+              qk_norm=self.qk_norm, use_mup=self.use_mup,
+              attn_drop=self.attn_drop, mlp_ratio=self.mlp_ratio,
+              mlp_bias=self.mlp_bias, mlp_drop=self.mlp_drop,
+              action_processing=self.action_processing,
+              num_domains=self.num_domains, dtype=self.dtype,
+              cross_attention_compat=self.cross_attention_compat,
+              temporal_layout=self.temporal_layout, name="layers_scan")
+            self.layers = []
+            return
+        if self.remat:
             # static_argnums counts `self` as 0 (flax subtracts 1 before
             # lifting), so `deterministic` — positional arg 4 of
             # STBlock.__call__ — is index 4, NOT 3. With (3,) the Python
@@ -331,6 +428,10 @@ class STTransformerDecoder(nn.Module):
     def __call__(self, x_TSC: jax.Array, action_emb: Optional[jax.Array] = None,
                  domain_id: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
+        if self.scan_layers:
+            x_TSC, _ = self.layers_scan(x_TSC, action_emb, domain_id,
+                                        deterministic)
+            return x_TSC
         for layer in self.layers:
             x_TSC = layer(x_TSC, action_emb, domain_id, deterministic)
         return x_TSC
@@ -348,6 +449,9 @@ class STTransformerDecoder(nn.Module):
         the chain — no full-cache stack/copy); otherwise the caches pass
         through untouched. action_live: see STBlock.frame_step.
         """
+        assert not self.scan_layers, (
+            "frame_step needs the loop layout; convert params with "
+            "unstack_layer_params and build the model with scan_layers=False")
         t = jnp.asarray(t, jnp.int32)
         zero = jnp.asarray(0, jnp.int32)
         for i, layer in enumerate(self.layers):
@@ -367,6 +471,9 @@ class STTransformerDecoder(nn.Module):
                     write_frames: int = 0):
         """Multi-frame cached decode; writes the first `write_frames`
         frames' KV slices into the caches at [t0, t0+write_frames)."""
+        assert not self.scan_layers, (
+            "window_step needs the loop layout; convert params with "
+            "unstack_layer_params and build the model with scan_layers=False")
         t0 = jnp.asarray(t0, jnp.int32)
         zero = jnp.asarray(0, jnp.int32)
         for i, layer in enumerate(self.layers):
