@@ -157,7 +157,11 @@ def _denoise_kernel(*refs, depth: int, K: int, C: int, H: int,
         if clip_denoised:
             x0p = jnp.clip(x0p, -1.0, 1.0)
         mean = pmc1 * x0p + pmc2 * x
-        frac = (rest + 1.0) / 2.0
+        # clamp to the defined interpolation domain, matching
+        # diffusion/gaussian.py learned_range_log_variance (the unbounded
+        # form overflows the VB backward when v drifts past ±1; the
+        # sampler must stay bit-consistent with the reference path)
+        frac = jnp.clip((rest + 1.0) / 2.0, 0.0, 1.0)
         logvar = frac * maxlog + (1.0 - frac) * minlog
         nonzero = (idx != 0).astype(f32)
         z = zs_ref[i].astype(f32)
