@@ -62,7 +62,26 @@ SCALES = {
         eval=dict(batch_size=16, max_examples=96, num_action_trials=5,
                   perturbation_scale=1.0),
     ),
-    # CPU-sized copy of the same loop (tests/test_dynamics_pipeline.py)
+    # pytest-sized copy of the same loop (tests/test_dynamics_pipeline.py
+    # runs this in the CPU suite; "cpu" is the interactive dev scale)
+    "test": dict(
+        image_size=32, n_train=24, n_val=6, episode_len=20,
+        vq=dict(base_channels=16, ch_mult=(1, 2, 2), num_res_blocks=1,
+                z_channels=8, codebook_size=256,
+                disc_start=10**9, perceptual_weight=0.0),
+        tok_steps=150, tok_batch=16, tok_lr=1e-3, tok_warmup=20,
+        card=dict(num_layers=2, num_heads=4, d_model=128, T=8, S=64,
+                  image_vocab_size=256, num_factored_vocabs=1,
+                  action_network="concat+modulate", action_token_size=16,
+                  num_prompt_frames=2, use_actions=True,
+                  action_domains=["toyworld"], d_actions=[2], d_action=2),
+        train=dict(max_train_steps=250, per_device_train_batch_size=8,
+                   learning_rate=1e-3, num_warmup_steps=25,
+                   eval_every_n_steps=125, checkpointing_steps="250"),
+        eval=dict(batch_size=6, max_examples=6, num_action_trials=3,
+                  perturbation_scale=1.0),
+    ),
+    # CPU-sized copy of the same loop (interactive dev scale)
     "cpu": dict(
         image_size=32, n_train=48, n_val=8, episode_len=24,
         vq=dict(base_channels=16, ch_mult=(1, 2, 2), num_res_blocks=1,

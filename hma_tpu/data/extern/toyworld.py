@@ -12,8 +12,14 @@ image, so this world stands in as a fully-specified, seedable source.
 
 World spec (everything integer-rendered so a small VQ tokenizer can be
 near-lossless):
-  - canvas `image_size`^2 RGB over a fixed 8x8 checkerboard background
-    (spatial anchor texture);
+  - canvas `image_size`^2 RGB over a SOLID dark background. Sprites are
+    deliberately large (the agent covers ~10% of pixels) and the
+    background flat: the probe tokenizer trains on plain L1 (no GAN /
+    LPIPS), and a first toyworld draft with 10px sprites on a
+    checkerboard collapsed — the codec reproduced only the background
+    (2.4% L1 from sprites wasn't worth codebook capacity) and every
+    frame encoded to identical tokens, which silently made all dynamics
+    metrics degenerate (PSNR(pred,gt) == PSNR(copy,gt) == 168 dB);
   - an agent: bright red square, driven by a continuous 2-D action
     a_t in [-1, 1]^2; pos_{t+1} = bounce(pos_t + a_t * MAX_SPEED).
     Actions are piecewise-constant random segments (3-6 frames) so
@@ -37,20 +43,17 @@ import numpy as np
 from hma_tpu.data.encode_openx import get_shard_inds
 
 MAX_SPEED = 5.0          # px per frame at image_size=64, scaled with size
-AGENT_SIDE = 10          # px at image_size=64
-DISTRACTOR_SIDE = 7      # px at image_size=64
+AGENT_SIDE = 20          # px at image_size=64 (~10% of pixels)
+DISTRACTOR_SIDE = 14     # px at image_size=64
 NUM_EPISODES = {"train": 480, "val": 48}
 EPISODE_LEN = 40
 _SPLIT_SEED = {"train": 0, "val": 1 << 20}
 
 
-def _checkerboard(size: int) -> np.ndarray:
-    """Fixed background: 8x8 checker in two dark grays."""
-    yy, xx = np.mgrid[0:size, 0:size]
-    checker = ((yy // 8 + xx // 8) % 2).astype(np.uint8)
+def _background(size: int) -> np.ndarray:
+    """Solid dark background (see the module docstring for why flat)."""
     bg = np.empty((size, size, 3), np.uint8)
-    bg[...] = 40
-    bg[checker == 1] = 70
+    bg[...] = 30
     return bg
 
 
@@ -111,7 +114,7 @@ def simulate_episode(ep_seed: int, episode_len: int = EPISODE_LEN,
     rng = np.random.default_rng(ep_seed)
     scale = image_size / 64.0
     speed = MAX_SPEED * scale
-    bg = _checkerboard(image_size)
+    bg = _background(image_size)
     margin = (AGENT_SIDE * scale) / 2 + 1
     lo, hi = margin, image_size - margin
 
