@@ -75,8 +75,12 @@ SCALES = {
                   action_network="concat+modulate", action_token_size=16,
                   num_prompt_frames=2, use_actions=True,
                   action_domains=["toyworld"], d_actions=[2], d_action=2),
+        # dp=1: the pytest suite forces 8 virtual CPU devices, but an
+        # 8-way SPMD train program on the (1-core) CI host pays compile
+        # + thread contention for nothing — sharding correctness has its
+        # own tests (test_sharded_train/test_sharded_eval)
         train=dict(max_train_steps=250, per_device_train_batch_size=8,
-                   learning_rate=1e-3, num_warmup_steps=25,
+                   learning_rate=1e-3, num_warmup_steps=25, dp=1,
                    eval_every_n_steps=125, checkpointing_steps="250"),
         eval=dict(batch_size=6, max_examples=6, num_action_trials=3,
                   perturbation_scale=1.0),
@@ -94,7 +98,7 @@ SCALES = {
                   num_prompt_frames=2, use_actions=True,
                   action_domains=["toyworld"], d_actions=[2], d_action=2),
         train=dict(max_train_steps=400, per_device_train_batch_size=8,
-                   learning_rate=1e-3, num_warmup_steps=40,
+                   learning_rate=1e-3, num_warmup_steps=40, dp=1,
                    eval_every_n_steps=200, checkpointing_steps="400"),
         eval=dict(batch_size=8, max_examples=8, num_action_trials=3,
                   perturbation_scale=1.0),

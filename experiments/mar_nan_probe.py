@@ -95,8 +95,25 @@ def main():
         print("no skip within budget — nothing to localize", flush=True)
     else:
         # the skipping step left params untouched; recompute its exact
-        # gradients leaf by leaf (mirrors make_train_step.loss_fn)
-        def loss_fn(p, key):
+        # gradients (mirrors make_train_step.loss_fn). Free the dense
+        # fp32 Adam moments first and reduce the report to two stacked
+        # scalar vectors inside jit — the first draft OOMed holding
+        # opt_state + the full grad tree + per-leaf host pulls.
+        bad_params = state.params
+        del state
+        # persist the blowup state so follow-up forensics (activation
+        # scans, fix A/Bs) don't pay the 278-step retrain
+        dump = os.environ.get("HMA_TPU_NAN_DUMP", "/tmp/mar_nan_state.npz")
+        if dump:
+            flat = {
+                "/".join(str(getattr(k, "key", k)) for k in path):
+                    np.asarray(leaf)
+                for path, leaf in
+                jax.tree_util.tree_leaves_with_path(bad_params)}
+            np.savez(dump, __bad_step__=np.asarray(bad_step), **flat)
+            print(f"dumped blowup state -> {dump}", flush=True)
+
+        def loss_fn(p, key, w_img=1.0, w_act=0.5):
             k_mask, k_step = jax.random.split(key)
             u = jax.random.uniform(k_mask, (B, n_tail, 1, 1))
             prob = jnp.cos((u * (1.0 - mmin) + mmin) * jnp.pi / 2)
@@ -110,30 +127,61 @@ def main():
                     "diffusion": k_step}
             out = model.apply(p, lat, lat, actions, dom, indicator,
                               deterministic=False, rngs=rngs)
-            loss = out["loss"]
-            if "action_loss" in out:
-                loss = loss + 0.5 * out["action_loss"]
+            # static weights + Python branches: a zero-weight term must be
+            # absent from the jaxpr entirely (0.0 * NaN = NaN — XLA keeps
+            # NaN semantics, so multiplying by zero would not isolate it)
+            loss = w_img * out["loss"] if w_img else jnp.zeros(())
+            if w_act and "action_loss" in out:
+                loss = loss + w_act * out["action_loss"]
             return loss, out
 
-        grad_fn = jax.jit(jax.grad(loss_fn, has_aux=True))
-        grads, out = grad_fn(state.params, bad_key)
-        report = []
-        for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
-            bad = int(jnp.sum(~jnp.isfinite(leaf.astype(jnp.float32))))
-            if bad:
-                name = "/".join(str(getattr(k, "key", k)) for k in path)
-                finite = jnp.where(jnp.isfinite(leaf), jnp.abs(leaf), 0.0)
-                report.append({"leaf": name, "nonfinite": bad,
-                               "size": int(leaf.size),
-                               "max_finite": float(jnp.max(finite))})
-        report.sort(key=lambda r: -r["nonfinite"])
-        rec["out_terms"] = {k: float(v) for k, v in out.items()
-                            if getattr(v, "ndim", 1) == 0}
-        rec["nonfinite_leaves"] = report[:40]
-        rec["total_nonfinite_leaves"] = len(report)
-        print(json.dumps(rec["out_terms"]), flush=True)
-        for r in report[:20]:
-            print(r, flush=True)
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(2, 3))
+        def leaf_stats(p, key, w_img, w_act):
+            grads, out = jax.grad(loss_fn, has_aux=True)(p, key, w_img, w_act)
+            leaves = jax.tree_util.tree_leaves(grads)
+            bad = jnp.stack([jnp.sum(~jnp.isfinite(g.astype(jnp.float32)))
+                             for g in leaves])
+            mx = jnp.stack([jnp.max(jnp.where(jnp.isfinite(g), jnp.abs(g),
+                                              0.0).astype(jnp.float32))
+                            for g in leaves])
+            scalars = {k: v for k, v in out.items()
+                       if getattr(v, "ndim", 1) == 0}
+            return bad, mx, scalars
+
+        paths = [
+            "/".join(str(getattr(k, "key", k)) for k in path)
+            for path, _ in jax.tree_util.tree_leaves_with_path(
+                jax.eval_shape(lambda p: p, bad_params))]
+        sizes = [int(l.size) for l in jax.tree_util.tree_leaves(bad_params)]
+        rec["total_leaves"] = len(paths)
+        # per-term backward: which loss term's backward detonates, and
+        # the clean/bad leaf boundary for each
+        for term, (wi, wa) in (("image_diffloss", (1.0, 0.0)),
+                               ("action_diffloss", (0.0, 1.0))):
+            bad_v, mx_v, out = leaf_stats(bad_params, bad_key, wi, wa)
+            bad_v, mx_v = np.asarray(bad_v), np.asarray(mx_v)
+            report = [{"leaf": n, "nonfinite": int(b), "size": s,
+                       "max_finite": float(m)}
+                      for n, b, s, m in zip(paths, bad_v, sizes, mx_v)]
+            nbad = sum(1 for r in report if r["nonfinite"])
+            rec[term] = {
+                "out_terms": {k: float(v) for k, v in out.items()},
+                "bad_leaves": nbad,
+                "partial_leaves": [r for r in report
+                                   if 0 < r["nonfinite"] < r["size"]][:40],
+                "clean_leaves": [r["leaf"] for r in report
+                                 if not r["nonfinite"]][:80],
+                "worst": sorted((r for r in report if r["nonfinite"]),
+                                key=lambda r: -r["nonfinite"])[:24],
+            }
+            print(f"{term}: bad={nbad}/{len(paths)} "
+                  f"out={rec[term]['out_terms']}", flush=True)
+            for r in rec[term]["partial_leaves"][:10]:
+                print(" partial:", r, flush=True)
+            for n in rec[term]["clean_leaves"][:15]:
+                print(" clean:", n, flush=True)
 
     out_p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "artifacts", "mar_nan_r5.json")

@@ -23,7 +23,13 @@ near-lossless):
   - an agent: bright red square, driven by a continuous 2-D action
     a_t in [-1, 1]^2; pos_{t+1} = bounce(pos_t + a_t * MAX_SPEED).
     Actions are piecewise-constant random segments (3-6 frames) so
-    held-out trajectories are predictable from actions alone;
+    held-out trajectories are predictable from actions alone.
+    MAX_SPEED is deliberately large (~60% of the agent's side per
+    frame): at 5 px/frame the copy-last-frame baseline scored 34.5 dB
+    (sprites barely move relative to their size) and no prediction
+    through a lossy codec could beat it — the world must make frame
+    t+1 genuinely different from frame t for `psnr_vs_copy > 0` to
+    measure dynamics rather than codec fidelity;
   - a distractor: green square with a constant per-episode ballistic
     velocity, bouncing off walls — un-actioned dynamics the model must
     learn unconditionally.
@@ -42,7 +48,7 @@ import numpy as np
 
 from hma_tpu.data.encode_openx import get_shard_inds
 
-MAX_SPEED = 5.0          # px per frame at image_size=64, scaled with size
+MAX_SPEED = 12.0         # px per frame at image_size=64, scaled with size
 AGENT_SIDE = 20          # px at image_size=64 (~10% of pixels)
 DISTRACTOR_SIDE = 14     # px at image_size=64
 NUM_EPISODES = {"train": 480, "val": 48}

@@ -38,8 +38,13 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
     if dp is None:
         assert n % (fsdp * tp * sp) == 0, (n, fsdp, tp, sp)
         dp = n // (fsdp * tp * sp)
-    assert dp * fsdp * tp * sp == n, (dp, fsdp, tp, sp, n)
-    arr = np.asarray(devices[:n]).reshape(dp, fsdp, tp, sp)
+    # Explicit factors may target a SUBSET of the visible devices (e.g.
+    # dp=1 on the 8-virtual-device CPU test mesh: an 8-way SPMD program
+    # on a 1-core host pays compile + thread contention for nothing);
+    # the first dp*fsdp*tp*sp devices are used in enumeration order.
+    k = dp * fsdp * tp * sp
+    assert k <= n, (dp, fsdp, tp, sp, n)
+    arr = np.asarray(devices[:k]).reshape(dp, fsdp, tp, sp)
     return Mesh(arr, axis_names=("dp", "fsdp", "tp", "sp"))
 
 

@@ -272,6 +272,11 @@ def run_training(args: TrainArgs) -> dict:
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev, dp=args.dp, fsdp=args.fsdp, tp=args.tp,
                      sp=args.sp) if n_dev > 1 else None
+    if mesh is not None and mesh.devices.size == 1:
+        mesh = None  # explicit 1-device factors: plain single-device jit
+    # global batch follows the mesh actually used (it may be a subset of
+    # the visible devices — make_mesh with explicit factors)
+    n_dev = mesh.devices.size if mesh is not None else 1
 
     B = args.per_device_train_batch_size * max(n_dev, 1)
     effective_batch = B * args.gradient_accumulation_steps
