@@ -105,6 +105,48 @@ def main():
         print(f"{name}: max|x|={float(mx):.3e} rms={float(rms):.3e} "
               f"nonfinite={int(nonfin)}", flush=True)
 
+    # image-term gradient magnitude profile: the probe showed clean
+    # grads for layers >= 27 and NaN below; if max|g| grows ~10x per
+    # layer from 31 down to 27 the backward is exploding multiplicatively
+    # (AdaLN gates / weight growth) and crosses inf at 26 — vs a flat
+    # profile, which would mean a point-source op inside layer 26.
+    def loss_img(p):
+        out = model.apply(p, lat, lat, actions, dom, indicator,
+                          deterministic=False, rngs=rngs)
+        return out["loss"]
+
+    @jax.jit
+    def grad_profile(p):
+        g = jax.grad(loss_img)(p)
+        leaves = jax.tree_util.tree_leaves(g)
+        mx = jnp.stack([jnp.max(jnp.where(jnp.isfinite(l), jnp.abs(l), 0.0)
+                                .astype(jnp.float32)) for l in leaves])
+        bad = jnp.stack([jnp.sum(~jnp.isfinite(l.astype(jnp.float32)))
+                         for l in leaves])
+        return mx, bad
+
+    mx_v, bad_v = grad_profile(params)
+    mx_v, bad_v = np.asarray(mx_v), np.asarray(bad_v)
+    names = ["/".join(str(getattr(k, "key", k)) for k in path)
+             for path, _ in jax.tree_util.tree_leaves_with_path(
+                 jax.eval_shape(lambda p: p, params))]
+    rec["grad_profile"] = [
+        {"leaf": n, "max_finite": float(m), "nonfinite": int(b)}
+        for n, m, b in zip(names, mx_v, bad_v)]
+    import re as _re
+    per_layer: dict = {}
+    for n, m, b in zip(names, mx_v, bad_v):
+        mm = _re.search(r"layers_(\d+)", n)
+        k = int(mm.group(1)) if mm else -1
+        cur = per_layer.setdefault(k, [0.0, 0])
+        cur[0] = max(cur[0], float(m))
+        cur[1] += int(b)
+    for k in sorted(per_layer):
+        mxl, badl = per_layer[k]
+        print(f"layer {k}: max|g|={mxl:.3e} nonfinite={badl}", flush=True)
+    rec["grad_per_layer"] = {str(k): {"max_finite": v[0], "nonfinite": v[1]}
+                             for k, v in per_layer.items()}
+
     # per-param-leaf magnitude scan: which weights exploded?
     big = []
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):

@@ -79,6 +79,10 @@ class TrainArgs:
     num_train_epochs: int = 2
     max_train_steps: Optional[int] = None
     max_eval_steps: int = 10
+    # abort when ~this many consecutive steps are NaN-guard-skipped
+    # (sampled at log points; 0 disables). A frozen run skips EVERY
+    # step, so sampling is reliable for the failure this targets.
+    max_nan_skip_steps: int = 200
     eval_every_n_steps: int = 1000
     vis_every_n_steps: int = 10_000_000
     lr_scheduler_type: str = "custom_cosine"
@@ -522,6 +526,7 @@ def run_training(args: TrainArgs) -> dict:
     skip = start_step % steps_per_epoch
     t_last = time.time()
     last_metrics = {}
+    nan_streak = 0  # consecutive log points whose sampled step was skipped
 
     while step_i < max_steps:
         sampler.set_epoch(epoch)
@@ -575,6 +580,23 @@ def run_training(args: TrainArgs) -> dict:
                 t_last = time.time()
                 logger.log({f"train/{k}": v for k, v in m.items()}, step=step_i)
                 last_metrics = m
+                # Fail loudly when the NaN-guard freezes training: once
+                # every backward is non-finite the guard skips forever
+                # (params untouched, loss flat) and a long run silently
+                # burns its budget. Observed: d512 STMAR runaway — the
+                # un-normalized temporal-attention residual (reference
+                # parity, hma/model/st_transformer.py:110) doubles the
+                # stream per layer until the softmax backward overflows
+                # fp32 (experiments/artifacts/mar_nan_forensic_r5.json).
+                nan_streak = nan_streak + 1 if m.get("skipped") else 0
+                if nan_streak * args.log_every >= args.max_nan_skip_steps > 0:
+                    raise RuntimeError(
+                        f"non-finite gradients for >= {nan_streak * args.log_every}"
+                        f" consecutive steps at step {step_i} — training is"
+                        " frozen (NaN-guard skipping every update). Lower the"
+                        " lr, add weight decay, or set qk_norm=true; see"
+                        " experiments/mar_nan_forensic.py for the diagnosis"
+                        " workflow.")
 
             if step_i % args.eval_every_n_steps == 0 or step_i == max_steps:
                 eval_metrics = run_eval(eval_step, state.params, val_assembler,

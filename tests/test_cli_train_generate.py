@@ -218,3 +218,25 @@ def test_native_loader_resume_equals_straight_run(synth_env, tmp_path):
     for (path_a, xa), (_, xb) in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb),
                                       err_msg=str(path_a))
+
+
+def test_frozen_nan_run_aborts(synth_env, tmp_path):
+    """A run whose every backward is non-finite must fail loudly instead
+    of silently burning its step budget with the NaN-guard skipping
+    100% of updates (observed: the d512 STMAR temporal-attention
+    runaway, experiments/artifacts/mar_nan_forensic_r5.json). lr=1e12
+    detonates the params on step 1; every later step is skipped."""
+    root, data, cfg_path, split_path, domain = synth_env
+    from hma_tpu.train.trainer import TrainArgs, run_training
+
+    args = TrainArgs(
+        genie_config=str(cfg_path), output_dir=str(tmp_path / "nanrun"),
+        train_split=str(split_path), data_root=str(data),
+        model_type="discrete", window_size=4,
+        per_device_train_batch_size=4, learning_rate=1e12,
+        weight_decay=0.0,  # one 1e12-scale update detonates the params
+        max_train_steps=60, eval_every_n_steps=1000, max_eval_steps=1,
+        checkpointing_steps="1000", num_warmup_steps=0, log_every=1,
+        max_nan_skip_steps=10, overfit_first_batch=True)
+    with pytest.raises(RuntimeError, match="non-finite gradients"):
+        run_training(args)
