@@ -564,7 +564,12 @@ def _bench_mar(jax, jnp, force, timed, timed_compile) -> dict:
         from mar_overfit_probe import run_overfit
 
         cap = int(os.environ.get("HMA_TPU_BENCH_MAR_OVERFIT_STEPS", 1200))
-        out["overfit"] = run_overfit(max_steps=cap, log_every=100,
+        # lr=1e-4 (the trainer default): 3e-4 on this card detonates at
+        # step ~278 through the reference-inherited temporal-attention
+        # runaway (artifacts/mar_nan_forensic_r5.json) — the un-normalized
+        # residual doubles per layer until the softmax backward overflows;
+        # the production lr trains stably.
+        out["overfit"] = run_overfit(lr=1e-4, max_steps=cap, log_every=100,
                                      skip_rollout_check=True)
     except Exception:
         out["overfit"] = {"error": traceback.format_exc(limit=1)}

@@ -194,7 +194,9 @@ def run_overfit(lr: float = 3e-4, wd: float = 0.0, max_steps: int = 3000,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--lr", type=float, default=3e-4)
+    # trainer-default lr: 3e-4 detonates this card at step ~278 via the
+    # reference-inherited temporal-attention runaway (mar_nan_probe.py)
+    ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--wd", type=float, default=0.0)
     ap.add_argument("--max-steps", type=int, default=3000)
     ap.add_argument("--target-loss", type=float, default=0.05)
