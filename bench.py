@@ -563,7 +563,9 @@ def _bench_mar(jax, jnp, force, timed, timed_compile) -> dict:
     try:
         from mar_overfit_probe import run_overfit
 
-        cap = int(os.environ.get("HMA_TPU_BENCH_MAR_OVERFIT_STEPS", 1200))
+        # early-stops at eval < 0.05; lr 1e-4 needs ~4-5k steps (~16 min
+        # at 0.21 s/step) — the measured curve is in mar_overfit_r5.json
+        cap = int(os.environ.get("HMA_TPU_BENCH_MAR_OVERFIT_STEPS", 5000))
         # lr=1e-4 (the trainer default): 3e-4 on this card detonates at
         # step ~278 through the reference-inherited temporal-attention
         # runaway (artifacts/mar_nan_forensic_r5.json) — the un-normalized

@@ -30,10 +30,10 @@ must reproduce the training latents — reported as rollout latent MSE
 relative to the latent variance (~1.0 for the N(0,1) probe batch), vs
 the same ratio for the fresh-init model.
 
-Writes a loss curve + summary to experiments/artifacts/mar_overfit_r4.json
+Writes a loss curve + summary to experiments/artifacts/mar_overfit_r5.json
 and one JSON line to stdout / /tmp/mar_overfit_probe.jsonl.
 
-Run: python experiments/mar_overfit_probe.py [--lr 1e-3] [--max-steps 3000]
+Run: python experiments/mar_overfit_probe.py [--lr 1e-4] [--max-steps 5000]
 """
 
 from __future__ import annotations
@@ -50,7 +50,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_overfit(lr: float = 3e-4, wd: float = 0.0, max_steps: int = 3000,
+def run_overfit(lr: float = 1e-4, wd: float = 0.0, max_steps: int = 5000,
                 target_loss: float = 0.05, batch: int = 8,
                 log_every: int = 50, num_domains: int = 8,
                 skip_rollout_check: bool = False) -> dict:
@@ -169,7 +169,12 @@ def run_overfit(lr: float = 3e-4, wd: float = 0.0, max_steps: int = 3000,
         return rec
 
     # --- rollout check: reproduce the training latents from a 2-frame
-    # prompt, production inference numerics (bf16 params).
+    # prompt, production inference numerics (bf16 params). Free the
+    # dense fp32 Adam moments FIRST and sequence the two rollouts so
+    # only one fp32 param tree is ever resident — with the full train
+    # state still alive the first attempt died with a TPU allocator
+    # error at the bf16 cast (~7 GB state + 2.3 GB init params + KV
+    # caches on the 16 GB chip).
     num_prompt = 2
     tgt = np.asarray(lat)[:, num_prompt:]
     var = float(np.var(tgt))
@@ -182,13 +187,29 @@ def run_overfit(lr: float = 3e-4, wd: float = 0.0, max_steps: int = 3000,
         mse = float(np.mean((np.asarray(out)[:, num_prompt:] - tgt) ** 2))
         return mse / var
 
-    rel_fresh = rollout_rel_mse(params)
-    params = None
-    rel = rollout_rel_mse(state.params)
-    print(f"rollout latent MSE / var: overfit {rel:.4f} vs fresh-init "
-          f"{rel_fresh:.4f}", flush=True)
-    rec["rollout_rel_mse"] = round(rel, 4)
-    rec["rollout_rel_mse_fresh_init"] = round(rel_fresh, 4)
+    try:
+        trained = state.params
+        del state, step, inner_step, tx
+        params = None
+        rel = rollout_rel_mse(trained)
+        del trained
+        # fresh-init baseline: regenerate deterministically (same seed
+        # as the training init) rather than holding it through training
+        fresh = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "diffusion": jax.random.PRNGKey(1),
+             "action_drop": jax.random.PRNGKey(2)}, lat, lat, actions,
+            dom, mask0)
+        rel_fresh = rollout_rel_mse(fresh)
+        del fresh
+        print(f"rollout latent MSE / var: overfit {rel:.4f} vs fresh-init "
+              f"{rel_fresh:.4f}", flush=True)
+        rec["rollout_rel_mse"] = round(rel, 4)
+        rec["rollout_rel_mse_fresh_init"] = round(rel_fresh, 4)
+    except Exception:
+        import traceback
+
+        rec["rollout_error"] = traceback.format_exc(limit=2)
     return rec
 
 
@@ -198,7 +219,7 @@ def main():
     # reference-inherited temporal-attention runaway (mar_nan_probe.py)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--wd", type=float, default=0.0)
-    ap.add_argument("--max-steps", type=int, default=3000)
+    ap.add_argument("--max-steps", type=int, default=5000)
     ap.add_argument("--target-loss", type=float, default=0.05)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--log-every", type=int, default=50)
