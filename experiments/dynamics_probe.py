@@ -26,7 +26,8 @@ Success criteria (the claims BENCH_r05 carries):
     the controllability claim at the heart of HMA).
 
 Run: python experiments/dynamics_probe.py [--scale chip|cpu] [--root DIR]
-Writes experiments/artifacts/dynamics_r5.json at chip scale.
+Writes experiments/artifacts/dynamics_r5_{scale}.json (+ rollout GIFs at
+chip scale).
 """
 
 from __future__ import annotations
@@ -256,13 +257,15 @@ def artifact_stage(root: str, p: dict, model_dir: str, tok_dir: str,
         "--maskgit_steps", "2"])
     visualize_main(["--token_dir", gen_out, "--tokenizer_ckpt", tok_dir,
                     "--max_examples", "4"])
-    # keep the [prompt|pred|gt] GIFs with the json artifact
-    import glob
-    import shutil
+    if keep_gifs:
+        # keep the [prompt|pred] GIFs with the json artifact — chip
+        # scale only (the CI-scale pytest run must not clobber them)
+        import glob
+        import shutil
 
-    for i, g in enumerate(sorted(glob.glob(
-            os.path.join(gen_out, "vis", "*.gif")))[:2]):
-        shutil.copy(g, os.path.join(ART, f"dynamics_r5_rollout_{i}.gif"))
+        for i, g in enumerate(sorted(glob.glob(
+                os.path.join(gen_out, "vis", "*.gif")))[:2]):
+            shutil.copy(g, os.path.join(ART, f"dynamics_r5_rollout_{i}.gif"))
     return gen_out
 
 
@@ -297,7 +300,8 @@ def run_pipeline(root: str, scale: str = "chip") -> dict:
     timings["eval_s"] = round(time.perf_counter() - t0, 1)
 
     try:
-        artifact_stage(root, p, model_dir, tok_dir, token_dirs["val"])
+        artifact_stage(root, p, model_dir, tok_dir, token_dirs["val"],
+                       keep_gifs=(scale == "chip"))
     except Exception as e:  # GIF writing must not sink the probe
         rec["artifact_error"] = repr(e)
 
