@@ -244,7 +244,7 @@ def eval_stage(root: str, p: dict, model_dir: str, tok_dir: str,
 
 
 def artifact_stage(root: str, p: dict, model_dir: str, tok_dir: str,
-                   val_dir: str) -> str:
+                   val_dir: str, keep_gifs: bool = False) -> str:
     """Stage 6: rollout video + GIF artifacts (generate.py, visualize.py)."""
     from hma_tpu.generate import main as generate_main
     from hma_tpu.visualize import main as visualize_main
